@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Headline benchmark: agent-steps/second/chip at 1M agents.
+
+Synthetic dense crowd (the workload class of the reference's generated
+random/sparse scenarios, scaled to the BASELINE.json north star): N agents
+uniformly placed on a large open field, all walking toward a goal edge,
+full physics (goal + pairwise + obstacle forces, cell sort, despawn checks).
+
+Prints ONE JSON line:
+    {"metric": "agent_steps_per_sec", "value": ..., "unit": "agent-steps/s",
+     "vs_baseline": value / 1e9}
+
+The baseline denominator is the 1e9 agent-steps/s/chip target from
+BASELINE.json (the Rust reference publishes no numbers and cannot run here
+— no cargo in the image; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build(n_agents: int, density: float, seed: int, backend: str,
+          table_capacity: int, chunk_size: int):
+    import jax
+    import jax.numpy as jnp
+
+    from pedoni_tpu.field import Field, FieldMaps
+    from pedoni_tpu.models.sfm import AgentState, SimState, StepConfig, make_step
+    from pedoni_tpu.scenario import Scenario, Segment
+
+    side = float(np.sqrt(n_agents / density))
+    scenario = Scenario(
+        size=(side, side),
+        waypoints=(Segment(line=((1.0, 1.0), (1.0, side - 1.0)), width=1.0),),
+        obstacles=(
+            Segment(line=((side / 2, side / 4), (side / 2, side / 2)), width=2.0),
+        ),
+        pedestrians=(),
+    )
+    field = Field.from_scenario(scenario, unit=0.25)
+    maps = FieldMaps.from_field(field)
+
+    capacity = 1
+    while capacity < n_agents:
+        capacity *= 2
+    cfg = StepConfig.build(
+        scenario,
+        capacity=capacity,
+        table_capacity=table_capacity,
+        chunk_size=chunk_size,
+        use_neighbor_grid=True,
+        use_distance_map=True,
+    )
+
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(2.0, side - 2.0, size=(capacity, 2)).astype(np.float32)
+    vel = np.zeros((capacity, 2), np.float32)
+    speed = np.clip(rng.normal(1.34, 0.26, capacity), 0.1, None).astype(np.float32)
+    dest = np.zeros((capacity,), np.int32)
+    active = np.zeros((capacity,), bool)
+    active[:n_agents] = True
+
+    agents = AgentState(
+        pos=jnp.asarray(pos), vel=jnp.asarray(vel), speed=jnp.asarray(speed),
+        dest=jnp.asarray(dest), active=jnp.asarray(active),
+    )
+    state = SimState(agents=agents, key=jax.random.PRNGKey(seed), step=jnp.int32(0))
+    step = jax.jit(make_step(cfg, maps))
+    return step, state, cfg
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--agents", type=int, default=1_000_000)
+    ap.add_argument("--density", type=float, default=2.5, help="agents per m^2")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--backend", default="xla")
+    ap.add_argument("--table-capacity", type=int, default=16)
+    ap.add_argument("--chunk-size", type=int, default=16384)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    t0 = time.perf_counter()
+    step, state, cfg = build(
+        args.agents, args.density, args.seed, args.backend,
+        args.table_capacity, args.chunk_size,
+    )
+    if args.verbose:
+        print(f"# build: {time.perf_counter() - t0:.1f}s, capacity={cfg.capacity}",
+              file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for _ in range(args.warmup):
+        state, metrics = step(state)
+    jax.block_until_ready(state)
+    if args.verbose:
+        print(f"# warmup({args.warmup}): {time.perf_counter() - t0:.1f}s, "
+              f"active={int(metrics.n_active)}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+    n_active = int(metrics.n_active)
+
+    steps_per_sec = args.steps / elapsed
+    agent_steps = n_active * steps_per_sec
+    if args.verbose:
+        print(f"# {elapsed*1000/args.steps:.2f} ms/step, active={n_active}, "
+              f"{steps_per_sec:.1f} steps/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "agent_steps_per_sec",
+        "value": agent_steps,
+        "unit": "agent-steps/s",
+        "vs_baseline": agent_steps / 1e9,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

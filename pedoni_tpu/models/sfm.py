@@ -37,9 +37,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..field import FieldMaps
-from ..ops import forces as F
-from ..ops.neighbor import CellGrid, build_neighbor_data, compute_cell_ids, gather_candidates
-from ..ops.sampling import DeviceField, sample_grad, sample_scalar
+from ..ops import forcepass, forces as F
+from ..ops.neighbor import CellGrid, compute_cell_ids
+from ..ops.sampling import DeviceField, sample_obstacle, sample_waypoint
 from ..physics import Physics
 from ..scenario import Scenario
 
@@ -122,7 +122,8 @@ class StepConfig:
     spawn: SpawnPlan
     field_unit: float
     table_capacity: int = 16
-    chunk_size: int = 2048
+    row_block: int = 8  # cell rows per dense-force block (memory knob)
+    chunk_size: int = 2048  # retained for CLI compatibility; unused
     use_neighbor_grid: bool = True
     use_distance_map: bool = True
 
@@ -135,13 +136,12 @@ class StepConfig:
         neighbor_grid_unit: float = 1.4,
         field_unit: float = 0.25,
         table_capacity: int = 16,
+        row_block: int = 8,
         chunk_size: int = 2048,
         use_neighbor_grid: bool = True,
         use_distance_map: bool = True,
     ) -> "StepConfig":
         spawn = SpawnPlan.from_scenario(scenario, physics)
-        chunk = min(chunk_size, capacity)
-        capacity = ((capacity + chunk - 1) // chunk) * chunk
         return cls(
             scenario=scenario,
             physics=physics,
@@ -150,7 +150,8 @@ class StepConfig:
             spawn=spawn,
             field_unit=field_unit,
             table_capacity=table_capacity,
-            chunk_size=chunk,
+            row_block=row_block,
+            chunk_size=chunk_size,
             use_neighbor_grid=use_neighbor_grid,
             use_distance_map=use_distance_map,
         )
@@ -250,65 +251,20 @@ def _spawn_candidates(cfg: StepConfig, key: jnp.ndarray) -> AgentState:
     )
 
 
-def _force_pass(cfg: StepConfig, field: DeviceField, agents: AgentState,
-                table: jnp.ndarray, obstacles) -> jnp.ndarray:
-    """Accelerations for all agents, chunked to bound memory."""
-    phys = cfg.physics
+def _all_pairs_acc(cfg: StepConfig, agents: AgentState, e: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """All-pairs pairwise forces, the --no-neighbor-grid fallback
+    (sfm.rs:158-184).  O(C^2); for small scenarios only."""
     c = cfg.capacity
-    b = cfg.chunk_size
-    n_chunks = c // b
-    obs_p0, obs_p1, obs_w = obstacles
-
-    pos_all, vel_all = agents.pos, agents.vel
-    cid_all = compute_cell_ids(pos_all, agents.active, cfg.grid)
-    if cfg.use_neighbor_grid:
-        cand_all = gather_candidates(cid_all, table, cfg.grid)  # [C, 9K]
-    else:
-        cand_all = jnp.broadcast_to(
-            jnp.arange(c, dtype=jnp.int32)[None, :], (c, c)
-        )
-
-    # Sentinel row: gathers with index C read an always-invalid agent.
-    pos_ext = jnp.concatenate([pos_all, jnp.full((1, 2), 1e30, jnp.float32)])
-    vel_ext = jnp.concatenate([vel_all, jnp.zeros((1, 2), jnp.float32)])
-    act_ext = jnp.concatenate([agents.active, jnp.zeros((1,), bool)])
-
-    def chunk_fn(args):
-        idx, pos, vel, speed, dest, cand = args
-        # Goal force (sfm.rs:107-109).
-        grad = sample_grad(field.pot_gx, field.pot_gy, dest, pos, cfg.field_unit)
-        e = F.safe_normalize(grad)
-        acc = F.goal_force(e, vel, speed, phys)
-
-        # Pairwise repulsion.
-        cand_pos = jnp.take(pos_ext, cand, axis=0)
-        cand_vel = jnp.take(vel_ext, cand, axis=0)
-        cand_ok = jnp.take(act_ext, cand) & (cand != idx[:, None])
-        acc = acc + F.pairwise_force(pos, vel, e, cand_pos, cand_vel, cand_ok, phys)
-
-        # Obstacle force.
-        if cfg.use_distance_map:
-            dval = sample_scalar(field.dist, 0, pos, cfg.field_unit)
-            dgrad = sample_grad(field.dist_gx, field.dist_gy, 0, pos, cfg.field_unit)
-            acc = acc + F.obstacle_force(dval, dgrad, phys)
-        elif obs_p0.shape[0] > 0:
-            acc = acc + F.segment_obstacle_force(pos, obs_p0, obs_p1, obs_w, phys)
-        return acc
-
     idx = jnp.arange(c, dtype=jnp.int32)
-    args = (
-        idx.reshape(n_chunks, b),
-        pos_all.reshape(n_chunks, b, 2),
-        vel_all.reshape(n_chunks, b, 2),
-        agents.speed.reshape(n_chunks, b),
-        agents.dest.reshape(n_chunks, b),
-        cand_all.reshape(n_chunks, b, -1),
+    cand = jnp.broadcast_to(idx[None, :], (c, c))
+    cand_ok = agents.active[None, :] & (cand != idx[:, None])
+    return F.pairwise_force(
+        agents.pos, agents.vel, e,
+        jnp.broadcast_to(agents.pos[None], (c, c, 2)),
+        jnp.broadcast_to(agents.vel[None], (c, c, 2)),
+        cand_ok, cfg.physics,
     )
-    if n_chunks == 1:
-        acc = chunk_fn(jax.tree.map(lambda x: x[0], args))
-        return acc
-    acc = jax.lax.map(chunk_fn, args)
-    return acc.reshape(c, 2)
 
 
 def make_step(cfg: StepConfig, maps: FieldMaps):
@@ -317,6 +273,8 @@ def make_step(cfg: StepConfig, maps: FieldMaps):
     obstacles = tuple(map(jnp.asarray, cfg.obstacle_arrays()))
     phys = cfg.physics
     c = cfg.capacity
+    grid = cfg.grid
+    k = cfg.table_capacity
 
     def step(state: SimState) -> tuple[SimState, StepMetrics]:
         key, k_spawn = jax.random.split(state.key)
@@ -333,8 +291,12 @@ def make_step(cfg: StepConfig, maps: FieldMaps):
             active=jnp.concatenate([a.active, cand.active]),
         )
 
-        # 2. despawn: arrived (potential <= 0.25, sfm.rs:69) or out of grid.
-        potv = sample_scalar(field.pot, ext.dest, ext.pos, cfg.field_unit)
+        # 2. one field-sampling pass: destination potential (despawn +
+        # goal direction) and obstacle distance, two patch gathers total.
+        potv, pgrad = sample_waypoint(field, ext.dest, ext.pos, cfg.field_unit)
+        e = F.safe_normalize(pgrad)
+
+        # Despawn: arrived (potential <= 0.25, sfm.rs:69) or out of grid.
         alive = ext.active & (potv > phys.despawn_potential)
         cid = compute_cell_ids(ext.pos, alive, cfg.grid)
 
@@ -342,28 +304,40 @@ def make_step(cfg: StepConfig, maps: FieldMaps):
         # the front (sentinel id for the rest), so truncation only ever
         # drops agents when the population exceeds capacity.
         order = jnp.argsort(cid, stable=True)
-        cid_sorted = jnp.take(cid, order)[:c]
         take = lambda arr: jnp.take(arr, order, axis=0)[:c]
+        cid_sorted = take(cid)
         agents = AgentState(
             pos=take(ext.pos),
             vel=take(ext.vel),
             speed=take(ext.speed),
             dest=take(ext.dest),
-            active=jnp.take(alive, order)[:c],
+            active=take(alive),
         )
+        e_s = take(e)
         n_alive_total = jnp.sum(alive).astype(jnp.int32)
         n_active = jnp.sum(agents.active).astype(jnp.int32)
         n_dropped = n_alive_total - n_active
 
-        # 4. neighbor table + forces.
+        # 4. forces: goal (sfm.rs:107-109) + obstacle (sfm.rs:188-237) +
+        # pairwise via the dense cell layout (ops/forcepass.py).
+        acc = F.goal_force(e_s, agents.vel, agents.speed, phys)
+        if cfg.use_distance_map:
+            dval, dgrad = sample_obstacle(field, agents.pos, cfg.field_unit)
+            acc = acc + F.obstacle_force(dval, dgrad, phys)
+        elif obstacles[0].shape[0] > 0:
+            acc = acc + F.segment_obstacle_force(agents.pos, *obstacles, phys)
+
         if cfg.use_neighbor_grid:
-            nb = build_neighbor_data(cid_sorted, cfg.grid, cfg.table_capacity)
-            table = nb.table
-            n_overflow = nb.n_overflow
+            layout = forcepass.build_layout(cid_sorted, agents.active, grid, k)
+            data = forcepass.scatter_cell_data(layout, grid, k, agents.pos,
+                                               agents.vel, e_s)
+            acc_flat = forcepass.dense_pairwise(data, grid, k, phys,
+                                                row_block=cfg.row_block)
+            acc = acc + forcepass.gather_pair_acc(acc_flat, layout)
+            n_overflow = layout.n_overflow
         else:
-            table = jnp.zeros((1, 1), jnp.int32)
+            acc = acc + _all_pairs_acc(cfg, agents, e_s)
             n_overflow = jnp.int32(0)
-        acc = _force_pass(cfg, field, agents, table, obstacles)
 
         # 5. integrate (sfm.rs:245-254).
         pos, vel = F.integrate(

@@ -1,11 +1,10 @@
-from .sampling import DeviceField, bilinear, sample_scalar, sample_grad
+from .sampling import DeviceField, sample_waypoint, sample_obstacle
 from .neighbor import CellGrid, NeighborData, build_neighbor_data
 
 __all__ = [
     "DeviceField",
-    "bilinear",
-    "sample_scalar",
-    "sample_grad",
+    "sample_waypoint",
+    "sample_obstacle",
     "CellGrid",
     "NeighborData",
     "build_neighbor_data",

@@ -2,9 +2,15 @@
 
 Runtime counterpart of the reference's per-agent field queries
 (field.rs:235-258 + util.rs:44-75).  All maps are pre-padded with PAD rings
-of the out-of-bounds value 1e12 (see pedoni_tpu/field.py), so sampling is a
-branch-free 4-tap bilinear gather; gradients read the pre-convolved Sobel
-maps instead of doing 8 bilinear taps per agent per map.
+of the out-of-bounds value 1e12 (see pedoni_tpu/field.py); gradients read
+pre-convolved Sobel maps instead of 8 bilinear taps per agent per map.
+
+TPU cost model: XLA gathers on TPU are scalar-unit bound (~10 cycles per
+index), so the layout packs all channels of a map *channel-last* and every
+agent fetches one (2, 2, 4) patch — a single indexed slice delivering all
+four bilinear taps of all channels at once.  Two patch fetches per agent
+(destination potential stack + obstacle stack) replace the reference's 64+
+scalar map reads (sfm.rs:107, 188-190 via util.rs:61-75).
 
 Coordinates: world position ``pos`` (meters) maps to unpadded grid coords
 ``pos / unit - 0.5`` (field.rs:236 half-cell offset); add PAD for the padded
@@ -17,92 +23,84 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..field import PAD, FieldMaps
 
 
 class DeviceField(NamedTuple):
-    """Field maps as device arrays.  Shapes: pot* are [n_wp, Hp, Wp],
-    dist* are [Hp, Wp]; all float32, padded by PAD rings of 1e12."""
+    """Packed, padded field maps as device arrays, flattened row-major so a
+    bilinear tap is one row-gather of all 4 channels.
 
-    pot: jnp.ndarray
-    pot_gx: jnp.ndarray
-    pot_gy: jnp.ndarray
-    dist: jnp.ndarray
-    dist_gx: jnp.ndarray
-    dist_gy: jnp.ndarray
+    - ``wp``  [n_wp * Hp * Wp, 4]: (potential, sobel_gx, sobel_gy, 0) per
+      waypoint — goal navigation + despawn checks.
+    - ``obs`` [Hp * Wp, 4]: (distance, sobel_gx, sobel_gy, 0) — obstacle
+      repulsion.
+    - ``hp``/``wp_cols``: padded map dims (static Python ints).
+    """
+
+    wp: jnp.ndarray
+    obs: jnp.ndarray
+    hp: int
+    wp_cols: int
 
     @classmethod
     def from_maps(cls, maps: FieldMaps) -> "DeviceField":
-        return cls(
-            pot=jnp.asarray(maps.pot),
-            pot_gx=jnp.asarray(maps.pot_gx),
-            pot_gy=jnp.asarray(maps.pot_gy),
-            dist=jnp.asarray(maps.dist),
-            dist_gx=jnp.asarray(maps.dist_gx),
-            dist_gy=jnp.asarray(maps.dist_gy),
-        )
+        n_wp, hp, wp_cols = maps.pot.shape
+        wp = np.stack(
+            [maps.pot, maps.pot_gx, maps.pot_gy, np.zeros_like(maps.pot)],
+            axis=-1,
+        ).reshape(n_wp * hp * wp_cols, 4)
+        obs = np.stack(
+            [maps.dist, maps.dist_gx, maps.dist_gy, np.zeros_like(maps.dist)],
+            axis=-1,
+        ).reshape(hp * wp_cols, 4)
+        return cls(wp=jnp.asarray(wp), obs=jnp.asarray(obs),
+                   hp=hp, wp_cols=wp_cols)
 
 
-def grid_coords(pos: jnp.ndarray, unit: float) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """World position [N, 2] -> padded grid coords (px, py), each [N]."""
-    px = pos[..., 0] / unit - 0.5 + PAD
-    py = pos[..., 1] / unit - 0.5 + PAD
-    return px, py
+def _patch_bilinear(flat: jnp.ndarray, hp: int, wp: int,
+                    plane: jnp.ndarray | None, pos: jnp.ndarray,
+                    unit: float) -> jnp.ndarray:
+    """Bilinear-interpolate all channels of a packed map at world positions.
 
-
-def bilinear(flat: jnp.ndarray, wp: int, hp: int, base: jnp.ndarray | int,
-             px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
-    """4-tap bilinear gather from a flattened padded map.
-
-    ``flat`` is the map raveled to 1D (possibly a stack: ``base`` selects the
-    per-agent plane offset, e.g. destination * Hp * Wp).  Coordinates beyond
-    the padded extent clamp onto the 1e12 ring, matching util.rs:44-58.
+    ``flat`` is [(n_planes*)Hp*Wp, 4]; ``plane`` picks the plane per agent
+    for stacked maps.  Returns [N, 4].  Four row-gathers per agent — each
+    delivering all channels — instead of the reference's per-channel scalar
+    taps (util.rs:44-58 semantics via the 1e12 padding + clamping).
     """
-    px = jnp.clip(px, 0.0, wp - 1.001)
-    py = jnp.clip(py, 0.0, hp - 1.001)
+    px = jnp.clip(pos[:, 0] / unit - 0.5 + PAD, 0.0, wp - 1.001)
+    py = jnp.clip(pos[:, 1] / unit - 0.5 + PAD, 0.0, hp - 1.001)
     bx = jnp.floor(px)
     by = jnp.floor(py)
-    tx = px - bx
-    ty = py - by
-    ix = bx.astype(jnp.int32)
-    iy = by.astype(jnp.int32)
-    i00 = base + iy * wp + ix
-    v00 = jnp.take(flat, i00)
-    v01 = jnp.take(flat, i00 + 1)
-    v10 = jnp.take(flat, i00 + wp)
-    v11 = jnp.take(flat, i00 + wp + 1)
+    tx = (px - bx)[:, None]
+    ty = (py - by)[:, None]
+    base = by.astype(jnp.int32) * wp + bx.astype(jnp.int32)
+    if plane is not None:
+        base = base + plane * (hp * wp)
+
+    v00 = jnp.take(flat, base, axis=0)
+    v01 = jnp.take(flat, base + 1, axis=0)
+    v10 = jnp.take(flat, base + wp, axis=0)
+    v11 = jnp.take(flat, base + wp + 1, axis=0)
+
     top = v00 + tx * (v01 - v00)
     bot = v10 + tx * (v11 - v10)
     return top + ty * (bot - top)
 
 
-def sample_scalar(stack: jnp.ndarray, plane: jnp.ndarray | int,
-                  pos: jnp.ndarray, unit: float) -> jnp.ndarray:
-    """Sample a (stacked) scalar map at world positions.
-
-    ``stack`` is [n_planes, Hp, Wp] or [Hp, Wp]; ``plane`` selects the plane
-    per agent (e.g. destination waypoint id), ignored for 2D stacks.
-    """
-    if stack.ndim == 2:
-        hp, wp = stack.shape
-        base = 0
-    else:
-        _, hp, wp = stack.shape
-        base = plane * (hp * wp)
-    px, py = grid_coords(pos, unit)
-    return bilinear(stack.reshape(-1), wp, hp, base, px, py)
+def sample_waypoint(field: DeviceField, dest: jnp.ndarray, pos: jnp.ndarray,
+                    unit: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Potential value [N] and its Sobel (negative-)gradient [N, 2] of each
+    agent's destination map at its position."""
+    v = _patch_bilinear(field.wp, field.hp, field.wp_cols, dest, pos, unit)
+    return v[:, 0], v[:, 1:3]
 
 
-def sample_grad(stack_gx: jnp.ndarray, stack_gy: jnp.ndarray,
-                plane: jnp.ndarray | int, pos: jnp.ndarray,
-                unit: float) -> jnp.ndarray:
-    """Sample the Sobel (negative-)gradient of a map: returns [N, 2].
-
-    Equivalent to the reference's ``sobel_filter`` at the same position
-    (util.rs:61-75) — points downhill, toward decreasing values.
-    """
-    gx = sample_scalar(stack_gx, plane, pos, unit)
-    gy = sample_scalar(stack_gy, plane, pos, unit)
-    return jnp.stack([gx, gy], axis=-1)
+def sample_obstacle(field: DeviceField, pos: jnp.ndarray,
+                    unit: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Obstacle distance [N] and its Sobel gradient [N, 2]."""
+    v = _patch_bilinear(field.obs, field.hp, field.wp_cols, None, pos, unit)
+    return v[:, 0], v[:, 1:3]
