@@ -31,7 +31,7 @@ def build(n_agents: int, density: float, seed: int, backend: str,
     import jax.numpy as jnp
 
     from pedoni_tpu.field import Field, FieldMaps
-    from pedoni_tpu.models.sfm import AgentState, SimState, StepConfig, make_step
+    from pedoni_tpu.models.sfm import AgentState, SimState, StepConfig, device_inputs, make_step
     from pedoni_tpu.scenario import Scenario, Segment
 
     side = float(np.sqrt(n_agents / density))
@@ -71,7 +71,12 @@ def build(n_agents: int, density: float, seed: int, backend: str,
         dest=jnp.asarray(dest), active=jnp.asarray(active),
     )
     state = SimState(agents=agents, key=jax.random.PRNGKey(seed), step=jnp.int32(0))
-    step = jax.jit(make_step(cfg, maps))
+    field, obstacles = device_inputs(cfg, maps)
+    raw_step = jax.jit(make_step(cfg, maps))
+
+    def step(s):
+        return raw_step(s, field.rows, obstacles)
+
     return step, state, cfg
 
 

@@ -39,7 +39,7 @@ import numpy as np
 from ..field import FieldMaps
 from ..ops import forcepass, forces as F
 from ..ops.neighbor import CellGrid, compute_cell_ids
-from ..ops.sampling import DeviceField, sample_obstacle, sample_waypoint
+from ..ops.sampling import DeviceField, sample_field
 from ..physics import Physics
 from ..scenario import Scenario
 
@@ -122,7 +122,7 @@ class StepConfig:
     spawn: SpawnPlan
     field_unit: float
     table_capacity: int = 16
-    row_block: int = 8  # cell rows per dense-force block (memory knob)
+    row_block: int = 4  # cell rows per dense-force block (memory knob)
     chunk_size: int = 2048  # retained for CLI compatibility; unused
     use_neighbor_grid: bool = True
     use_distance_map: bool = True
@@ -136,7 +136,7 @@ class StepConfig:
         neighbor_grid_unit: float = 1.4,
         field_unit: float = 0.25,
         table_capacity: int = 16,
-        row_block: int = 8,
+        row_block: int = 4,
         chunk_size: int = 2048,
         use_neighbor_grid: bool = True,
         use_distance_map: bool = True,
@@ -231,7 +231,7 @@ def _spawn_candidates(cfg: StepConfig, key: jnp.ndarray) -> AgentState:
         [np.arange(cap, dtype=np.int32) for cap in plan.caps]
     )
     group_of_j = jnp.asarray(group_of)
-    active = jnp.asarray(slot_in_group) < jnp.take(counts, group_of_j)
+    active = jnp.asarray(slot_in_group) < jnp.take(counts, group_of_j, mode="clip")
 
     t = jax.random.uniform(k_pos, (s,))
     p0 = jnp.asarray(plan.p0)[group_of]
@@ -267,16 +267,39 @@ def _all_pairs_acc(cfg: StepConfig, agents: AgentState, e: jnp.ndarray
     )
 
 
-def make_step(cfg: StepConfig, maps: FieldMaps):
-    """Build the jitted step function: SimState -> (SimState, StepMetrics)."""
+def device_inputs(cfg: StepConfig, maps: FieldMaps):
+    """Device arrays the step function takes as ARGUMENTS.
+
+    Passing the (large, read-only) field maps as jit arguments instead of
+    closure constants keeps them out of the serialized HLO module — this
+    environment compiles remotely, and baked-in multi-MB constants blow the
+    trace/compile time up from seconds to minutes.
+    """
     field = DeviceField.from_maps(maps)
     obstacles = tuple(map(jnp.asarray, cfg.obstacle_arrays()))
+    return field, obstacles
+
+
+def make_step(cfg: StepConfig, maps: FieldMaps):
+    """Build the step function:
+    (SimState, DeviceField, obstacles) -> (SimState, StepMetrics).
+
+    ``DeviceField``/``obstacles`` come from :func:`device_inputs` and must be
+    passed as arguments on every call (see its docstring for why).
+    """
     phys = cfg.physics
     c = cfg.capacity
     grid = cfg.grid
     k = cfg.table_capacity
+    # Static padded-map dims (derived from the field geometry so the traced
+    # arrays never carry shape information).
+    from ..field import PAD
 
-    def step(state: SimState) -> tuple[SimState, StepMetrics]:
+    map_h = int(math.ceil(cfg.scenario.size[1] / cfg.field_unit)) + 2 * PAD
+    map_w = int(math.ceil(cfg.scenario.size[0] / cfg.field_unit)) + 2 * PAD
+
+    def step(state: SimState, field_rows: jnp.ndarray, obstacles
+             ) -> tuple[SimState, StepMetrics]:
         key, k_spawn = jax.random.split(state.key)
         a = state.agents
 
@@ -292,28 +315,39 @@ def make_step(cfg: StepConfig, maps: FieldMaps):
         )
 
         # 2. one field-sampling pass: destination potential (despawn +
-        # goal direction) and obstacle distance, two patch gathers total.
-        potv, pgrad = sample_waypoint(field, ext.dest, ext.pos, cfg.field_unit)
-        e = F.safe_normalize(pgrad)
+        # goal direction) and obstacle distance, four row gathers total.
+        fs = sample_field(field_rows, map_h, map_w, ext.dest, ext.pos, cfg.field_unit)
+        e = F.safe_normalize(fs.pot_grad)
 
         # Despawn: arrived (potential <= 0.25, sfm.rs:69) or out of grid.
-        alive = ext.active & (potv > phys.despawn_potential)
+        alive = ext.active & (fs.potential > phys.despawn_potential)
         cid = compute_cell_ids(ext.pos, alive, cfg.grid)
 
         # 3. cell-sort and truncate back to capacity; active agents sort to
         # the front (sentinel id for the rest), so truncation only ever
-        # drops agents when the population exceeds capacity.
+        # drops agents when the population exceeds capacity.  All per-agent
+        # channels ride in ONE packed [*, 12] array so the permutation is a
+        # single row gather.
         order = jnp.argsort(cid, stable=True)
-        take = lambda arr: jnp.take(arr, order, axis=0)[:c]
-        cid_sorted = take(cid)
-        agents = AgentState(
-            pos=take(ext.pos),
-            vel=take(ext.vel),
-            speed=take(ext.speed),
-            dest=take(ext.dest),
-            active=take(alive),
+        packed = jnp.concatenate(
+            [
+                ext.pos, ext.vel, ext.speed[:, None],
+                ext.dest.astype(jnp.float32)[:, None],
+                alive.astype(jnp.float32)[:, None],
+                e, fs.obs_dist[:, None], fs.obs_grad,
+            ],
+            axis=1,
         )
-        e_s = take(e)
+        sp = jnp.take(packed, order, axis=0, mode="clip")[:c]
+        cid_sorted = jnp.take(cid, order, mode="clip")[:c]
+        agents = AgentState(
+            pos=sp[:, 0:2],
+            vel=sp[:, 2:4],
+            speed=sp[:, 4],
+            dest=sp[:, 5].astype(jnp.int32),
+            active=sp[:, 6] > 0.5,
+        )
+        e_s = sp[:, 7:9]
         n_alive_total = jnp.sum(alive).astype(jnp.int32)
         n_active = jnp.sum(agents.active).astype(jnp.int32)
         n_dropped = n_alive_total - n_active
@@ -322,8 +356,7 @@ def make_step(cfg: StepConfig, maps: FieldMaps):
         # pairwise via the dense cell layout (ops/forcepass.py).
         acc = F.goal_force(e_s, agents.vel, agents.speed, phys)
         if cfg.use_distance_map:
-            dval, dgrad = sample_obstacle(field, agents.pos, cfg.field_unit)
-            acc = acc + F.obstacle_force(dval, dgrad, phys)
+            acc = acc + F.obstacle_force(sp[:, 9], sp[:, 10:12], phys)
         elif obstacles[0].shape[0] > 0:
             acc = acc + F.segment_obstacle_force(agents.pos, *obstacles, phys)
 

@@ -1,10 +1,10 @@
-from .sampling import DeviceField, sample_waypoint, sample_obstacle
+from .sampling import DeviceField, FieldSample, sample_field
 from .neighbor import CellGrid, NeighborData, build_neighbor_data
 
 __all__ = [
     "DeviceField",
-    "sample_waypoint",
-    "sample_obstacle",
+    "FieldSample",
+    "sample_field",
     "CellGrid",
     "NeighborData",
     "build_neighbor_data",

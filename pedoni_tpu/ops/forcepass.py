@@ -160,7 +160,7 @@ def dense_pairwise(data: jnp.ndarray, grid: CellGrid, k: int, phys: Physics,
         + jnp.arange(rb + 2, dtype=jnp.int32)[None, :]
     )
     row_idx = jnp.minimum(row_idx, ny_pad + 1)
-    blocks = jnp.take(d, row_idx, axis=0)
+    blocks = jnp.take(d, row_idx, axis=0, mode="clip")
 
     def block_fn(block):
         center = block[1 : rb + 1, 1 : nx + 1]
@@ -187,5 +187,5 @@ def dense_pairwise(data: jnp.ndarray, grid: CellGrid, k: int, phys: Physics,
 def gather_pair_acc(acc_flat: jnp.ndarray, layout: CellLayout) -> jnp.ndarray:
     """Per-agent pairwise acceleration: one [N]-gather by slot."""
     slot = jnp.minimum(layout.slot, acc_flat.shape[0] - 1)
-    acc = jnp.take(acc_flat, slot, axis=0)
+    acc = jnp.take(acc_flat, slot, axis=0, mode="clip")
     return jnp.where(layout.valid[:, None], acc, 0.0)

@@ -80,7 +80,7 @@ def build_neighbor_data(cell_ids_sorted: jnp.ndarray, grid: CellGrid,
 
     # Rank of each agent within its cell; slot = (cell, rank).
     idx = jnp.arange(n, dtype=jnp.int32)
-    starts = jnp.take(csr, jnp.clip(cell_ids_sorted, 0, grid.n_cells))
+    starts = jnp.take(csr, jnp.clip(cell_ids_sorted, 0, grid.n_cells), mode="clip")
     rank = idx - starts
     valid = (cell_ids_sorted < grid.n_cells) & (rank < table_capacity)
     # Invalid writes target an out-of-bounds slot and are dropped.
@@ -123,6 +123,6 @@ def gather_candidates(cell_ids_sorted: jnp.ndarray, table: jnp.ndarray,
     cell_ok = (ncx >= 0) & (ncx < grid.nx) & (ncy >= 0) & (ncy < grid.ny)
     ncell = jnp.where(cell_ok, ncy * grid.nx + ncx, 0)
 
-    cand = jnp.take(table, ncell, axis=0)  # [N, 9, K]
+    cand = jnp.take(table, ncell, axis=0, mode="clip")  # [N, 9, K]
     cand = jnp.where(cell_ok[:, :, None], cand, n)
     return cand.reshape(n, 9 * k)

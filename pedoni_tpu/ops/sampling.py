@@ -5,12 +5,13 @@ Runtime counterpart of the reference's per-agent field queries
 of the out-of-bounds value 1e12 (see pedoni_tpu/field.py); gradients read
 pre-convolved Sobel maps instead of 8 bilinear taps per agent per map.
 
-TPU cost model: XLA gathers on TPU are scalar-unit bound (~10 cycles per
-index), so the layout packs all channels of a map *channel-last* and every
-agent fetches one (2, 2, 4) patch — a single indexed slice delivering all
-four bilinear taps of all channels at once.  Two patch fetches per agent
-(destination potential stack + obstacle stack) replace the reference's 64+
-scalar map reads (sfm.rs:107, 188-190 via util.rs:61-75).
+TPU cost model: XLA gathers on TPU are index-bound (~10 cycles per index),
+so the layout is one fat row per map cell — (potential, pot_gx, pot_gy,
+obstacle_distance, dist_gx, dist_gy, 0, 0), with the obstacle channels
+duplicated into every waypoint plane — and each agent performs exactly FOUR
+row gathers (the bilinear taps), each delivering all 6 physical channels.
+That replaces the reference's 64+ scalar map reads per agent (sfm.rs:107,
+188-190 via util.rs:61-75) with 4 indexed 32-byte reads.
 
 Coordinates: world position ``pos`` (meters) maps to unpadded grid coords
 ``pos / unit - 0.5`` (field.rs:236 half-cell offset); add PAD for the padded
@@ -23,84 +24,73 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..field import PAD, FieldMaps
 
 
+class FieldSample(NamedTuple):
+    potential: jnp.ndarray  # [N] destination potential (despawn + goal)
+    pot_grad: jnp.ndarray  # [N, 2] Sobel of the potential (downhill)
+    obs_dist: jnp.ndarray  # [N] obstacle distance
+    obs_grad: jnp.ndarray  # [N, 2] Sobel of the distance map (downhill)
+
+
 class DeviceField(NamedTuple):
-    """Packed, padded field maps as device arrays, flattened row-major so a
-    bilinear tap is one row-gather of all 4 channels.
+    """Packed, padded field maps: one [n_wp * Hp * Wp, 8] row-major array,
+    channels (pot, pot_gx, pot_gy, dist, dist_gx, dist_gy, 0, 0); the
+    obstacle channels are replicated into every waypoint plane so a single
+    4-tap pass samples everything."""
 
-    - ``wp``  [n_wp * Hp * Wp, 4]: (potential, sobel_gx, sobel_gy, 0) per
-      waypoint — goal navigation + despawn checks.
-    - ``obs`` [Hp * Wp, 4]: (distance, sobel_gx, sobel_gy, 0) — obstacle
-      repulsion.
-    - ``hp``/``wp_cols``: padded map dims (static Python ints).
-    """
-
-    wp: jnp.ndarray
-    obs: jnp.ndarray
+    rows: jnp.ndarray
     hp: int
     wp_cols: int
 
     @classmethod
     def from_maps(cls, maps: FieldMaps) -> "DeviceField":
         n_wp, hp, wp_cols = maps.pot.shape
-        wp = np.stack(
-            [maps.pot, maps.pot_gx, maps.pot_gy, np.zeros_like(maps.pot)],
+        zeros = np.zeros_like(maps.dist)
+        obs = np.stack([maps.dist, maps.dist_gx, maps.dist_gy, zeros, zeros],
+                       axis=-1)  # [Hp, Wp, 5]
+        rows = np.concatenate(
+            [
+                np.stack([maps.pot, maps.pot_gx, maps.pot_gy], axis=-1),
+                np.broadcast_to(obs[None], (n_wp, hp, wp_cols, 5)),
+            ],
             axis=-1,
-        ).reshape(n_wp * hp * wp_cols, 4)
-        obs = np.stack(
-            [maps.dist, maps.dist_gx, maps.dist_gy, np.zeros_like(maps.dist)],
-            axis=-1,
-        ).reshape(hp * wp_cols, 4)
-        return cls(wp=jnp.asarray(wp), obs=jnp.asarray(obs),
-                   hp=hp, wp_cols=wp_cols)
+        ).astype(np.float32)  # [n_wp, Hp, Wp, 8]
+        return cls(
+            rows=jnp.asarray(rows.reshape(n_wp * hp * wp_cols, 8)),
+            hp=hp,
+            wp_cols=wp_cols,
+        )
 
 
-def _patch_bilinear(flat: jnp.ndarray, hp: int, wp: int,
-                    plane: jnp.ndarray | None, pos: jnp.ndarray,
-                    unit: float) -> jnp.ndarray:
-    """Bilinear-interpolate all channels of a packed map at world positions.
-
-    ``flat`` is [(n_planes*)Hp*Wp, 4]; ``plane`` picks the plane per agent
-    for stacked maps.  Returns [N, 4].  Four row-gathers per agent — each
-    delivering all channels — instead of the reference's per-channel scalar
-    taps (util.rs:44-58 semantics via the 1e12 padding + clamping).
-    """
+def sample_field(flat: jnp.ndarray, hp: int, wp: int, dest: jnp.ndarray,
+                 pos: jnp.ndarray, unit: float) -> FieldSample:
+    """Bilinear-sample all field channels at world positions: 4 row
+    gathers per agent (util.rs:44-58 semantics via 1e12 padding +
+    clamping).  ``flat`` is DeviceField.rows; ``hp``/``wp`` static dims."""
     px = jnp.clip(pos[:, 0] / unit - 0.5 + PAD, 0.0, wp - 1.001)
     py = jnp.clip(pos[:, 1] / unit - 0.5 + PAD, 0.0, hp - 1.001)
     bx = jnp.floor(px)
     by = jnp.floor(py)
     tx = (px - bx)[:, None]
     ty = (py - by)[:, None]
-    base = by.astype(jnp.int32) * wp + bx.astype(jnp.int32)
-    if plane is not None:
-        base = base + plane * (hp * wp)
+    base = (dest * hp + by.astype(jnp.int32)) * wp + bx.astype(jnp.int32)
 
-    v00 = jnp.take(flat, base, axis=0)
-    v01 = jnp.take(flat, base + 1, axis=0)
-    v10 = jnp.take(flat, base + wp, axis=0)
-    v11 = jnp.take(flat, base + wp + 1, axis=0)
+    v00 = jnp.take(flat, base, axis=0, mode="clip")
+    v01 = jnp.take(flat, base + 1, axis=0, mode="clip")
+    v10 = jnp.take(flat, base + wp, axis=0, mode="clip")
+    v11 = jnp.take(flat, base + wp + 1, axis=0, mode="clip")
 
     top = v00 + tx * (v01 - v00)
     bot = v10 + tx * (v11 - v10)
-    return top + ty * (bot - top)
-
-
-def sample_waypoint(field: DeviceField, dest: jnp.ndarray, pos: jnp.ndarray,
-                    unit: float) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Potential value [N] and its Sobel (negative-)gradient [N, 2] of each
-    agent's destination map at its position."""
-    v = _patch_bilinear(field.wp, field.hp, field.wp_cols, dest, pos, unit)
-    return v[:, 0], v[:, 1:3]
-
-
-def sample_obstacle(field: DeviceField, pos: jnp.ndarray,
-                    unit: float) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Obstacle distance [N] and its Sobel gradient [N, 2]."""
-    v = _patch_bilinear(field.obs, field.hp, field.wp_cols, None, pos, unit)
-    return v[:, 0], v[:, 1:3]
+    v = top + ty * (bot - top)  # [N, 8]
+    return FieldSample(
+        potential=v[:, 0],
+        pot_grad=v[:, 1:3],
+        obs_dist=v[:, 3],
+        obs_grad=v[:, 4:6],
+    )

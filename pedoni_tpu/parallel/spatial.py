@@ -49,11 +49,12 @@ from ..models.sfm import (
     StepConfig,
     StepMetrics,
     _spawn_candidates,
+    device_inputs,
     make_initial_state,
 )
 from ..ops import forcepass, forces as F
 from ..ops.neighbor import CellGrid
-from ..ops.sampling import DeviceField, sample_obstacle, sample_waypoint
+from ..ops.sampling import DeviceField, sample_field
 
 AXIS = "x"
 
@@ -98,35 +99,44 @@ class ShardedConfig:
         )
 
 
-def _compact(mask: jnp.ndarray, capacity: int, arrays: AgentState
-             ) -> tuple[AgentState, jnp.ndarray]:
-    """Stable-compact rows where ``mask`` into a [capacity] buffer.
+# Packed per-agent row layout used inside the sharded step: one [*, 12]
+# f32 array so sorts / compactions / ppermutes are single-array row ops.
+# Channels: 0:2 pos, 2:4 vel, 4 speed, 5 dest, 6 alive flag, 7:9 goal dir e,
+# 9 obstacle distance, 10:12 obstacle-distance Sobel.
+N_ROW = 12
 
-    Returns the compacted AgentState plus the number of masked rows that did
-    not fit.  Order is preserved, so cell-sorted input stays cell-sorted.
-    """
+
+def _compact_rows(mask: jnp.ndarray, capacity: int,
+                  rows: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stable-compact rows where ``mask`` into a [capacity, N_ROW] buffer
+    (single scatter).  Returns (compacted, n_lost).  Order is preserved, so
+    cell-sorted input stays cell-sorted."""
     dst = jnp.cumsum(mask.astype(jnp.int32)) - 1
     dst = jnp.where(mask & (dst < capacity), dst, capacity)  # drop slot
-    n_kept = jnp.minimum(jnp.sum(mask), capacity)
-
-    def scatter(src: jnp.ndarray, fill) -> jnp.ndarray:
-        out_shape = (capacity + 1,) + src.shape[1:]
-        out = jnp.full(out_shape, fill, src.dtype)
-        return out.at[dst].set(src, mode="drop")[:capacity]
-
-    out = AgentState(
-        pos=scatter(arrays.pos, 0.0),
-        vel=scatter(arrays.vel, 0.0),
-        speed=scatter(arrays.speed, 1.0),
-        dest=scatter(arrays.dest, 0),
-        active=scatter(arrays.active, False),
-    )
-    n_lost = jnp.sum(mask) - n_kept
+    out = jnp.zeros((capacity + 1, rows.shape[1]), rows.dtype)
+    out = out.at[dst].set(rows, mode="drop")[:capacity]
+    n_lost = jnp.sum(mask) - jnp.minimum(jnp.sum(mask), capacity)
     return out, n_lost.astype(jnp.int32)
 
 
-def _concat_states(*states: AgentState) -> AgentState:
-    return AgentState(*(jnp.concatenate(parts) for parts in zip(*states)))
+def _pack(pos, vel, speed, dest, alive, e, dist, dgrad) -> jnp.ndarray:
+    return jnp.concatenate(
+        [
+            pos, vel, speed[:, None], dest.astype(jnp.float32)[:, None],
+            alive.astype(jnp.float32)[:, None], e, dist[:, None], dgrad,
+        ],
+        axis=1,
+    )
+
+
+def _unpack_agents(rows: jnp.ndarray) -> AgentState:
+    return AgentState(
+        pos=rows[:, 0:2],
+        vel=rows[:, 2:4],
+        speed=rows[:, 4],
+        dest=rows[:, 5].astype(jnp.int32),
+        active=rows[:, 6] > 0.5,
+    )
 
 
 def make_sharded_step(scfg: ShardedConfig, maps: FieldMaps, mesh: Mesh):
@@ -134,13 +144,10 @@ def make_sharded_step(scfg: ShardedConfig, maps: FieldMaps, mesh: Mesh):
     (SimState, StepMetrics replicated)."""
     cfg = scfg.base
     phys = cfg.physics
-    field = DeviceField.from_maps(maps)
-    obstacles = tuple(map(jnp.asarray, cfg.obstacle_arrays()))
     d_count = scfg.n_devices
     cl = scfg.local_capacity
     pk = scfg.package_capacity
     unit = cfg.grid.unit
-    w_field, h_field = cfg.scenario.size
 
     # Global grid (for the despawn out-of-grid check, identical semantics to
     # the single-chip path / neighbor_grid.rs:29).
@@ -153,11 +160,14 @@ def make_sharded_step(scfg: ShardedConfig, maps: FieldMaps, mesh: Mesh):
         in_grid = (cx >= 0) & (cx < g.nx) & (cy >= 0) & (cy < g.ny)
         return jnp.where(ok & in_grid, cy * g.nx + cx, g.n_cells).astype(jnp.int32)
 
-    def select_package(mask: jnp.ndarray, arrays: AgentState) -> AgentState:
-        pkg, _ = _compact(mask, pk, arrays)
-        return pkg
+    # Static padded-map dims (see models/sfm.py: the field rides as a jit
+    # ARGUMENT, never a baked constant — remote compiles choke on those).
+    from ..field import PAD
 
-    def step_local(agents: AgentState, key, step_idx):
+    map_h = int(math.ceil(cfg.scenario.size[1] / cfg.field_unit)) + 2 * PAD
+    map_w = int(math.ceil(cfg.scenario.size[0] / cfg.field_unit)) + 2 * PAD
+
+    def step_local(agents: AgentState, key, step_idx, field_rows, obstacles):
         d = jax.lax.axis_index(AXIS)
         x_lo = d.astype(jnp.float32) * scfg.strip_width
         x_hi = x_lo + scfg.strip_width
@@ -166,108 +176,103 @@ def make_sharded_step(scfg: ShardedConfig, maps: FieldMaps, mesh: Mesh):
 
         key, k_spawn = jax.random.split(key)
 
-        # 1. spawn: identical candidates everywhere; claim mine.
+        # 1. spawn: identical candidates everywhere (same replicated PRNG
+        # key -> no communication); claim the ones in my strip.
         cand = _spawn_candidates(cfg, k_spawn)
         in_strip = (cand.pos[:, 0] >= x_lo) & (cand.pos[:, 0] < claim_hi)
-        cand = cand._replace(active=cand.active & in_strip)
-        n_spawned = jnp.sum(cand.active).astype(jnp.int32)
+        cand_active = cand.active & in_strip
+        n_spawned = jnp.sum(cand_active).astype(jnp.int32)
 
-        ext = _concat_states(agents, cand)
+        pos = jnp.concatenate([agents.pos, cand.pos])
+        vel = jnp.concatenate([agents.vel, cand.vel])
+        speed = jnp.concatenate([agents.speed, cand.speed])
+        dest = jnp.concatenate([agents.dest, cand.dest])
+        active = jnp.concatenate([agents.active, cand_active])
 
-        # 2. despawn: arrived or out of the *global* grid.
-        potv, _ = sample_waypoint(field, ext.dest, ext.pos, cfg.field_unit)
-        gx = jnp.floor(ext.pos[:, 0] / unit).astype(jnp.int32)
-        gy = jnp.floor(ext.pos[:, 1] / unit).astype(jnp.int32)
+        # 2. one field-sampling pass (4 row gathers): despawn check + goal
+        # direction + obstacle terms.  Sampled values ride in the packed
+        # rows through the exchange, so receivers never resample.
+        fs = sample_field(field_rows, map_h, map_w, dest, pos, cfg.field_unit)
+        e = F.safe_normalize(fs.pot_grad)
+        gx = jnp.floor(pos[:, 0] / unit).astype(jnp.int32)
+        gy = jnp.floor(pos[:, 1] / unit).astype(jnp.int32)
         in_global = (gx >= 0) & (gx < gx_cells) & (gy >= 0) & (gy < gy_cells)
-        alive = ext.active & (potv > phys.despawn_potential) & in_global
-        ext = ext._replace(active=alive)
+        alive = active & (fs.potential > phys.despawn_potential) & in_global
 
-        # 3. exchange: halo agents + emigrants, both directions.
-        x = ext.pos[:, 0]
+        rows = _pack(pos, vel, speed, dest, alive, e, fs.obs_dist, fs.obs_grad)
+
+        # 3. exchange: halo agents + emigrants, both directions, one packed
+        # ppermute per direction.
+        x = pos[:, 0]
         send_left = alive & (x < x_lo + scfg.halo)
         send_right = alive & (x >= x_hi - scfg.halo)
-        pkg_l = select_package(send_left, ext)
-        pkg_r = select_package(send_right, ext)
+        pkg_l, _ = _compact_rows(send_left, pk, rows)
+        pkg_r, _ = _compact_rows(send_right, pk, rows)
 
-        # Note: overflowing halo agents are dropped from the package only;
-        # they remain owned unless they actually emigrated.
         right_perm = [(i, i + 1) for i in range(d_count - 1)]
         left_perm = [(i, i - 1) for i in range(1, d_count)]
 
-        def ppermute_state(state: AgentState, perm) -> AgentState:
+        def pperm(pkg, perm):
             if not perm:
-                return jax.tree.map(jnp.zeros_like, state)
-            return jax.tree.map(
-                lambda a: jax.lax.ppermute(a, AXIS, perm), state
-            )
+                return jnp.zeros_like(pkg)
+            return jax.lax.ppermute(pkg, AXIS, perm)
 
-        recv_from_left = ppermute_state(pkg_r, right_perm)
-        recv_from_right = ppermute_state(pkg_l, left_perm)
+        recv_l = pperm(pkg_r, right_perm)  # from my left neighbor
+        recv_r = pperm(pkg_l, left_perm)  # from my right neighbor
 
         # Emigrants were shipped; deactivate the local copy.
         stays = (x >= x_lo) & (x < claim_hi)
-        ext = ext._replace(active=ext.active & stays)
+        rows = rows.at[:, 6].set((alive & stays).astype(jnp.float32))
 
-        def classify(recv: AgentState) -> tuple[AgentState, jnp.ndarray]:
-            rx = recv.pos[:, 0]
-            mine = (rx >= x_lo) & (rx < claim_hi)
-            adopted = recv._replace(active=recv.active & mine)
-            ghost_mask = recv.active & ~mine
-            return adopted, ghost_mask
-
-        adopted_l, ghost_mask_l = classify(recv_from_left)
-        adopted_r, ghost_mask_r = classify(recv_from_right)
-        ghosts = _concat_states(
-            recv_from_left._replace(active=ghost_mask_l),
-            recv_from_right._replace(active=ghost_mask_r),
-        )
+        def owned_mask(recv):
+            rx = recv[:, 0]
+            return (rx >= x_lo) & (rx < claim_hi)  # adopted; else ghost
 
         # 4. one combined cell-sort over owned + adopted + ghosts.
-        work = _concat_states(ext, adopted_l, adopted_r, ghosts)
+        work = jnp.concatenate([rows, recv_l, recv_r])
         owned = jnp.concatenate([
-            jnp.ones((ext.pos.shape[0],), bool),
-            jnp.ones((2 * pk,), bool),
-            jnp.zeros((2 * pk,), bool),
+            jnp.ones((rows.shape[0],), bool),
+            owned_mask(recv_l),
+            owned_mask(recv_r),
         ])
 
         origin_x = x_lo - scfg.margin_cells * unit
-        cid = local_cell_ids(work.pos, work.active, origin_x)
+        w_alive = work[:, 6] > 0.5
+        cid = local_cell_ids(work[:, 0:2], w_alive, origin_x)
         order = jnp.argsort(cid, stable=True)
-        work = jax.tree.map(lambda a: jnp.take(a, order, axis=0), work)
-        owned = jnp.take(owned, order)
-        cid_sorted = jnp.take(cid, order)
+        work = jnp.take(work, order, axis=0, mode="clip")
+        owned = jnp.take(owned, order, mode="clip")
+        cid_sorted = jnp.take(cid, order, mode="clip")
 
         # Force pass: same dense cell-layout primitives as the single-chip
         # path (ops/forcepass.py), over the local strip+halo window.
-        _, pgrad = sample_waypoint(field, work.dest, work.pos, cfg.field_unit)
-        e = F.safe_normalize(pgrad)
-        acc = F.goal_force(e, work.vel, work.speed, phys)
+        w = _unpack_agents(work)
+        e_s = work[:, 7:9]
+        acc = F.goal_force(e_s, w.vel, w.speed, phys)
         if cfg.use_distance_map:
-            dval, dgrad = sample_obstacle(field, work.pos, cfg.field_unit)
-            acc = acc + F.obstacle_force(dval, dgrad, phys)
+            acc = acc + F.obstacle_force(work[:, 9], work[:, 10:12], phys)
         elif obstacles[0].shape[0] > 0:
-            acc = acc + F.segment_obstacle_force(work.pos, *obstacles, phys)
+            acc = acc + F.segment_obstacle_force(w.pos, *obstacles, phys)
 
         lgrid = scfg.local_grid
         layout = forcepass.build_layout(
-            cid_sorted, work.active, lgrid, cfg.table_capacity
+            cid_sorted, w.active, lgrid, cfg.table_capacity
         )
         data = forcepass.scatter_cell_data(
-            layout, lgrid, cfg.table_capacity, work.pos, work.vel, e
+            layout, lgrid, cfg.table_capacity, w.pos, w.vel, e_s
         )
         acc_flat = forcepass.dense_pairwise(
             data, lgrid, cfg.table_capacity, phys, row_block=cfg.row_block
         )
         acc = acc + forcepass.gather_pair_acc(acc_flat, layout)
 
-        pos_new, vel_new = F.integrate(
-            work.pos, work.vel, acc, work.speed, work.active, phys
-        )
-        work = work._replace(pos=pos_new, vel=vel_new)
+        pos_new, vel_new = F.integrate(w.pos, w.vel, acc, w.speed, w.active, phys)
+        work = jnp.concatenate([pos_new, vel_new, work[:, 4:]], axis=1)
 
         # 5. compact owned survivors back into the local shard.
-        keep = owned & work.active
-        agents_out, n_lost = _compact(keep, cl, work)
+        keep = owned & w.active
+        out_rows, n_lost = _compact_rows(keep, cl, work)
+        agents_out = _unpack_agents(out_rows)
 
         n_active = jnp.sum(agents_out.active).astype(jnp.int32)
         metrics = StepMetrics(
@@ -281,13 +286,15 @@ def make_sharded_step(scfg: ShardedConfig, maps: FieldMaps, mesh: Mesh):
     sharded = jax.shard_map(
         step_local,
         mesh=mesh,
-        in_specs=(P(AXIS), P(), P()),
+        in_specs=(P(AXIS), P(), P(), P(), P()),
         out_specs=(P(AXIS), P(), P(), P()),
         check_vma=False,
     )
 
-    def step(state: SimState):
-        agents, key, step_idx, metrics = sharded(state.agents, state.key, state.step)
+    def step(state: SimState, field_rows, obstacles):
+        agents, key, step_idx, metrics = sharded(
+            state.agents, state.key, state.step, field_rows, obstacles
+        )
         return SimState(agents=agents, key=key, step=step_idx), metrics
 
     return step
@@ -413,9 +420,10 @@ spawn = { kind = "once", count = 40 }
     scfg = ShardedConfig.build(cfg, n_devices, package_capacity=32)
     step = jax.jit(make_sharded_step(scfg, maps, mesh))
     state = make_sharded_initial_state(scfg, mesh, seed=0)
+    dfield, obstacles = device_inputs(cfg, maps)
 
     for _ in range(3):
-        state, metrics = step(state)
+        state, metrics = step(state, dfield.rows, obstacles)
         # Lockstep each step: virtual CPU meshes on few-core hosts can
         # starve the collective rendezvous under deep dispatch queues.
         jax.block_until_ready(state)

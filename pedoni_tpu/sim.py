@@ -28,7 +28,7 @@ import numpy as np
 
 from .diagnostics import DiagnosticLog, StepRecord
 from .field import Field, FieldMaps
-from .models.sfm import SimState, StepConfig, make_initial_state, make_step
+from .models.sfm import SimState, StepConfig, device_inputs, make_initial_state, make_step
 from .physics import Physics
 from .scenario import Scenario
 from .utils.timing import Timer
@@ -94,6 +94,9 @@ class Simulator:
             use_neighbor_grid=o.use_neighbor_grid,
             use_distance_map=o.use_distance_map,
         )
+        field, obstacles = device_inputs(self.cfg, self.maps)
+        self._field_rows = field.rows
+        self._obstacles = obstacles
         self._step = jax.jit(make_step(self.cfg, self.maps))
         log.info("step function built: capacity=%d", self.cfg.capacity)
 
@@ -116,7 +119,7 @@ class Simulator:
     def tick(self) -> StepRecord:
         """Advance one step (lib.rs:64-100) and return host-side metrics."""
         with Timer() as t:
-            self.state, metrics = self._step(self.state)
+            self.state, metrics = self._step(self.state, self._field_rows, self._obstacles)
             n_active = int(metrics.n_active)  # device sync
         self.step_count += 1
 

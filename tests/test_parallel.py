@@ -11,7 +11,7 @@ import pytest
 from jax.sharding import Mesh
 
 from pedoni_tpu.field import Field, FieldMaps
-from pedoni_tpu.models.sfm import StepConfig, make_initial_state, make_step
+from pedoni_tpu.models.sfm import StepConfig, device_inputs, make_initial_state, make_step
 from pedoni_tpu.parallel.spatial import (
     ShardedConfig,
     dryrun,
@@ -54,8 +54,9 @@ def setup():
 def _run_single(cfg, maps, n_steps, seed=0):
     step = jax.jit(make_step(cfg, maps))
     state = make_initial_state(cfg, seed=seed)
+    dfield, obstacles = device_inputs(cfg, maps)
     for _ in range(n_steps):
-        state, metrics = step(state)
+        state, metrics = step(state, dfield.rows, obstacles)
     active = np.asarray(state.agents.active)
     pos = np.asarray(state.agents.pos)[active]
     return pos, int(metrics.n_active)
@@ -66,8 +67,9 @@ def _run_sharded(cfg, maps, n_devices, n_steps, seed=0):
     scfg = ShardedConfig.build(cfg, n_devices, package_capacity=128)
     step = jax.jit(make_sharded_step(scfg, maps, mesh))
     state = make_sharded_initial_state(scfg, mesh, seed=seed)
+    dfield, obstacles = device_inputs(cfg, maps)
     for _ in range(n_steps):
-        state, metrics = step(state)
+        state, metrics = step(state, dfield.rows, obstacles)
         # Lockstep: on a 1-core host, deep async dispatch queues can starve
         # the 8 virtual devices' collective-permute rendezvous (XLA CPU
         # spin-waits), aborting the process after a 40 s timeout.
@@ -114,8 +116,9 @@ def test_migration_across_strips(setup):
     scfg = ShardedConfig.build(cfg, 8, package_capacity=128)
     step = jax.jit(make_sharded_step(scfg, maps, mesh))
     state = make_sharded_initial_state(scfg, mesh, seed=3)
+    dfield, obstacles = device_inputs(cfg, maps)
     for _ in range(150):
-        state, _ = step(state)
+        state, _ = step(state, dfield.rows, obstacles)
         jax.block_until_ready(state)
     active = np.asarray(state.agents.active)
     cl = scfg.local_capacity
