@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--resume", default=None,
                    help="resume from a checkpoint file (new)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR "
+                        "(the reference measured kernel time and discarded "
+                        "it, sfm_gpu.rs:236; we keep it)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -122,6 +126,11 @@ def run_headless(args: argparse.Namespace) -> Path:
     dt = sim.options.physics.delta_time
     min_interval = dt / args.speed if args.speed > 0 else 0.0
 
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+
     while not interrupted:
         start = time.perf_counter()
         rec = sim.tick()
@@ -141,6 +150,12 @@ def run_headless(args: argparse.Namespace) -> Path:
         elapsed = time.perf_counter() - start
         if elapsed < min_interval:
             time.sleep(min_interval - elapsed)
+
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+        log.info("profiler trace written to %s", args.profile)
 
     ts = datetime.datetime.now().strftime("%Y-%m-%d_%H%M%S")
     out = Path(args.log_dir) / f"{ts}_log.json"
