@@ -135,6 +135,28 @@ class Simulator:
             time_calc_state=t.elapsed,
         )
 
+    def run(self, n_steps: int, sync_every: int = 0) -> StepRecord:
+        """Advance ``n_steps`` without per-step host syncs (throughput
+        mode): metrics stay on device and only the final step's record is
+        fetched.  ``sync_every`` > 0 adds periodic syncs to bound the
+        dispatch queue.  Capacity growth is NOT monitored here — size the
+        capacity up front (the n_dropped metric still reports losses)."""
+        metrics = None
+        with Timer() as t:
+            for i in range(n_steps):
+                self.state, metrics = self._step(
+                    self.state, self._field_rows, self._obstacles
+                )
+                if sync_every and (i + 1) % sync_every == 0:
+                    jax.block_until_ready(self.state)
+            n_active = int(metrics.n_active)
+        self.step_count += n_steps
+        return StepRecord(
+            active_ped_count=n_active,
+            time_spawn=0.0,
+            time_calc_state=t.elapsed / max(n_steps, 1),
+        )
+
     def list_pedestrians(self) -> tuple[np.ndarray, np.ndarray]:
         """Positions [n, 2] and destinations [n] of active agents
         (models/mod.rs:29-32 exchange struct analog)."""
