@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--resume", default=None,
                    help="resume from a checkpoint file (new)")
+    p.add_argument("--record-every", type=int, default=0, metavar="N",
+                   help="dump agent positions to <log-dir>/traj_<step>.npz "
+                        "every N steps (trajectory analysis)")
+    p.add_argument("--frame-every", type=int, default=0, metavar="N",
+                   help="render a PNG frame every N steps into <log-dir>")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR "
                         "(the reference measured kernel time and discarded "
@@ -141,6 +146,23 @@ def run_headless(args: argparse.Namespace) -> Path:
         if renderer is not None:
             pos, dest = sim.list_pedestrians()
             renderer.draw(pos, dest, sim.step_count)
+        if args.record_every and sim.step_count % args.record_every == 0:
+            import numpy as np
+
+            pos, dest = sim.list_pedestrians()
+            out_dir = Path(args.log_dir)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            np.savez_compressed(
+                out_dir / f"traj_{sim.step_count:08d}.npz", pos=pos, dest=dest
+            )
+        if args.frame_every and sim.step_count % args.frame_every == 0:
+            from .renderer import save_frame
+
+            pos, dest = sim.list_pedestrians()
+            out_dir = Path(args.log_dir)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            save_frame(sim.scenario, pos, dest,
+                       str(out_dir / f"frame_{sim.step_count:08d}.png"))
         if args.checkpoint_every and sim.step_count % args.checkpoint_every == 0:
             from .checkpoint import save
 
