@@ -5,6 +5,9 @@ Synthetic dense crowd (the workload class of the reference's generated
 random/sparse scenarios, scaled to the BASELINE.json north star): N agents
 uniformly placed on a large open field, all walking toward a goal edge,
 full physics (goal + pairwise + obstacle forces, cell sort, despawn checks).
+Default backend: the fused Pallas step kernel (sampling + despawn + forces +
+integration in one kernel over the cell grid); --backend xla selects the
+dense shifted-slice pass at the reference's 1.4 m neighbor unit.
 
 Prints ONE JSON line:
     {"metric": "agent_steps_per_sec", "value": ..., "unit": "agent-steps/s",
@@ -52,6 +55,7 @@ def build(n_agents: int, density: float, seed: int, backend: str,
     cfg = StepConfig.build(
         scenario,
         capacity=capacity,
+        neighbor_grid_unit=1.5 if backend == "pallas" else 1.4,
         table_capacity=table_capacity,
         chunk_size=chunk_size,
         use_neighbor_grid=True,
@@ -71,11 +75,20 @@ def build(n_agents: int, density: float, seed: int, backend: str,
         dest=jnp.asarray(dest), active=jnp.asarray(active),
     )
     state = SimState(agents=agents, key=jax.random.PRNGKey(seed), step=jnp.int32(0))
-    field, obstacles = device_inputs(cfg, maps)
-    raw_step = jax.jit(make_step(cfg, maps))
+    if backend == "pallas":
+        from pedoni_tpu.models import sfm_pallas
 
-    def step(s):
-        return raw_step(s, field.rows, obstacles)
+        fwp, fobs = sfm_pallas.pallas_device_inputs(cfg, maps)
+        raw_step = jax.jit(sfm_pallas.make_step_pallas(cfg, maps))
+
+        def step(s):
+            return raw_step(s, fwp, fobs)
+    else:
+        field, obstacles = device_inputs(cfg, maps)
+        raw_step = jax.jit(make_step(cfg, maps))
+
+        def step(s):
+            return raw_step(s, field.rows, obstacles)
 
     return step, state, cfg
 
@@ -87,8 +100,10 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--backend", default="xla")
-    ap.add_argument("--table-capacity", type=int, default=16)
+    ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"],
+                    help="pallas = fused kernel (neighbor unit 1.5 m); xla = dense pass (1.4 m)")
+    ap.add_argument("--table-capacity", type=int, default=14,
+                    help="slots per cell; overflow agents freeze for a step (reported)")
     ap.add_argument("--chunk-size", type=int, default=16384)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()

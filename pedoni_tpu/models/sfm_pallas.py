@@ -1,0 +1,142 @@
+"""Pallas-backend step: the fused kernel wired into the full pipeline.
+
+Same step contract as models/sfm.make_step but with sampling, despawn,
+all forces and integration fused into one Pallas kernel
+(ops/pallas/step_kernel.py).  Requires neighbor_grid_unit == 1.5 m and
+field_unit == 0.25 m (the stride-6 field layout) and a small number of
+waypoints (the kernel samples every plane and selects by destination).
+
+Remaining XLA phases: spawn candidates, the cell sort, the slot scatter and
+the result gather — the index-bound ops the round-2 cell-resident design
+eliminates (PLAN.md).
+
+Deviation from the XLA path: agents in cells holding more than
+``table_capacity`` agents have no slot; they freeze for that step (position
+and velocity unchanged, still active) instead of receiving field forces
+only.  The per-step n_overflow metric reports them.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import FieldMaps
+from ..ops import forcepass
+from ..ops.neighbor import compute_cell_ids
+from ..ops.pallas.fields6 import Fields6
+from ..ops.pallas.step_kernel import fused_step_kernel
+from .sfm import AgentState, SimState, StepConfig, StepMetrics, _spawn_candidates
+
+PALLAS_UNIT = 1.5
+MAX_WAYPOINTS = 8
+
+
+def supports(cfg: StepConfig) -> bool:
+    return (
+        abs(cfg.grid.unit - PALLAS_UNIT) < 1e-6
+        and abs(cfg.field_unit - 0.25) < 1e-6
+        and 1 <= len(cfg.scenario.waypoints) <= MAX_WAYPOINTS
+    )
+
+
+def pallas_device_inputs(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
+    ny_pad = -(-cfg.grid.ny // row_block) * row_block
+    f6 = Fields6.build(maps, cfg.grid.nx, ny_pad)
+    return jnp.asarray(f6.wp), jnp.asarray(f6.obs)
+
+
+def make_step_pallas(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
+    """Build the pallas-backend step:
+    (SimState, fwp, fobs) -> (SimState, StepMetrics)."""
+    if not supports(cfg):
+        raise ValueError(
+            "pallas backend needs neighbor_grid_unit=1.5, field_unit=0.25 "
+            f"and <= {MAX_WAYPOINTS} waypoints"
+        )
+    phys = cfg.physics
+    grid = cfg.grid
+    k = cfg.table_capacity
+    c = cfg.capacity
+    rb = row_block
+    ny_pad = -(-grid.ny // rb) * rb
+    nxl = -(-(grid.nx + 3) // 128) * 128
+    n_slots_grid = (grid.ny + 2) * (grid.nx + 2) * k
+
+    def step(state: SimState, fwp: jnp.ndarray, fobs: jnp.ndarray
+             ) -> tuple[SimState, StepMetrics]:
+        key, k_spawn = jax.random.split(state.key)
+        a = state.agents
+
+        # 1. spawn candidates (replicated machinery from the XLA path).
+        cand = _spawn_candidates(cfg, k_spawn)
+        n_spawned = jnp.sum(cand.active).astype(jnp.int32)
+        pos = jnp.concatenate([a.pos, cand.pos])
+        vel = jnp.concatenate([a.vel, cand.vel])
+        speed = jnp.concatenate([a.speed, cand.speed])
+        dest = jnp.concatenate([a.dest, cand.dest])
+        active = jnp.concatenate([a.active, cand.active])
+
+        # 2. cell sort (despawn happens in-kernel this backend).
+        cid = compute_cell_ids(pos, active, grid)
+        order = jnp.argsort(cid, stable=True)
+        packed = jnp.concatenate(
+            [
+                pos, vel, speed[:, None], dest.astype(jnp.float32)[:, None],
+                active.astype(jnp.float32)[:, None],
+                jnp.zeros((pos.shape[0], 1), jnp.float32),
+            ],
+            axis=1,
+        )
+        sp = jnp.take(packed, order, axis=0, mode="clip")[:c]
+        cid_sorted = jnp.take(cid, order, mode="clip")[:c]
+        act_s = sp[:, 6] > 0.5
+        n_alive_total = jnp.sum(active).astype(jnp.int32)
+        n_kept = jnp.sum(act_s).astype(jnp.int32)
+        n_dropped = n_alive_total - n_kept
+
+        # 3. scatter into the slot grid, transpose x-minor.
+        layout = forcepass.build_layout(cid_sorted, act_s, grid, k)
+        flat = jnp.zeros((n_slots_grid + 1, 8), jnp.float32)
+        flat = flat.at[layout.slot].set(sp, mode="drop")
+        d_grid = flat[:-1].reshape(grid.ny + 2, grid.nx + 2, k, 8)
+        dk = jnp.transpose(d_grid, (0, 2, 3, 1))
+        dk = jnp.pad(dk, ((0, ny_pad - grid.ny), (0, 0), (0, 0),
+                          (0, nxl - (grid.nx + 2))))
+
+        # 4. the fused kernel.
+        out = fused_step_kernel(dk, fwp, fobs, phys, cfg.scenario.size,
+                                row_block=rb)
+
+        # 5. gather results back by slot.
+        out_flat = jnp.transpose(out, (0, 1, 3, 2)).reshape(-1, 8)
+        cidc = jnp.minimum(cid_sorted, grid.n_cells - 1)
+        cy = cidc // grid.nx
+        cx = cidc % grid.nx
+        rank = layout.slot - ((cy + 1) * (grid.nx + 2) + (cx + 1)) * k
+        oslot = (cy * k + jnp.clip(rank, 0, k - 1)) * nxl + (cx + 1)
+        oslot = jnp.minimum(oslot, out_flat.shape[0] - 1)
+        res = jnp.take(out_flat, oslot, axis=0, mode="clip")
+
+        valid = layout.valid
+        agents = AgentState(
+            pos=jnp.where(valid[:, None], res[:, 0:2], sp[:, 0:2]),
+            vel=jnp.where(valid[:, None], res[:, 2:4], sp[:, 2:4]),
+            speed=sp[:, 4],
+            dest=sp[:, 5].astype(jnp.int32),
+            active=jnp.where(valid, res[:, 4] > 0.5, act_s),
+        )
+
+        new_state = SimState(agents=agents, key=key, step=state.step + 1)
+        metrics = StepMetrics(
+            n_active=jnp.sum(agents.active).astype(jnp.int32),
+            n_spawned=n_spawned,
+            n_dropped=n_dropped,
+            n_overflow=layout.n_overflow,
+        )
+        return new_state, metrics
+
+    return step

@@ -1,0 +1,276 @@
+"""Fused Pallas step kernel: field sampling + despawn + all forces +
+integration in one pass over the cell grid.
+
+Extends the pairwise kernel (pairwise.py) with in-kernel field sampling via
+the stride-6 plane layout (fields6.py): every agent's bilinear taps live in
+a *static* 8x8 patch of the block's field window, so sampling becomes an
+8x8 select-multiply-accumulate over [K, NXL] lane arrays — no gathers.
+This removes the dominant index-bound XLA phases (field sampling, the
+separate despawn potential check, goal/obstacle force plumbing and the
+pairwise-acceleration gather) from the step.
+
+Geometry (neighbor unit 1.5 m, field unit 0.25 m, PAD = 4):
+    field coord   p = pos * 4 - 0.5 + 4
+    agent y in cell row r  =>  floor(py) in [6r+3, 6r+9], +1 tap -> 6r+10
+so the patch of cell (r, x) is padded-map rows/cols [6r+3, 6r+10] x
+[6x+3, 6x+10]; fields6.py pre-offsets rows by +6 and lanes by +1 so block
+i DMAs F rows [6*i*rb + 3, +6(rb+2)+2) and patch column p of the agent at
+lane l is F[6w + q, (3+p) % 6, ch, l + (3+p)//6] for window row w.
+
+Input  D  [ny_pad+2, K, 8, NXL]: 0 pos.x, 1 pos.y, 2 vel.x, 3 vel.y,
+                                 4 speed, 5 dest, 6 active, 7 spare
+Output OUT [ny_pad,  K, 8, NXL]: 0 pos.x', 1 pos.y', 2 vel.x', 3 vel.y',
+                                 4 active' (post-despawn), 5 potential,
+                                 6/7 spare
+
+Physics per sfm.rs:91-255; despawn per sfm.rs:69 (+ out-of-grid,
+neighbor_grid.rs:29).  Cell (r, x) holds agents at D row r+1, lane x+1.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...physics import Physics
+from .fields6 import N_CH, PATCH, ROW0, STRIDE
+from .pairwise import _pair_accum
+
+EPS = 1e-12
+INV_UNIT = 4.0  # 1 / field_unit (0.25 m)
+FPAD = 4.0  # field-map PAD rings
+
+
+def _shift_lane(arr, delta: int):
+    """arr[..., l] -> arr[..., l + delta] (circular; wrapped lanes are
+    zero padding or >2 m away, so downstream masks kill them)."""
+    if delta == 0:
+        return arr
+    return pltpu.roll(arr, shift=(-delta) % arr.shape[-1], axis=arr.ndim - 1)
+
+
+def _sample_row(fwin, base_row: int, q0, p0, tx, ty):
+    """Bilinear sample of a 3-channel stride-6 plane for one cell row.
+
+    fwin: [FLEN, 6, 4, NXL] VMEM window; base_row: 6 * w (static);
+    q0/p0: [K, NXL] integer patch-local tap coords; tx/ty: fractions.
+    Returns three [K, NXL] channel arrays.
+    """
+    out = [None, None, None]
+    for qy in range(PATCH):
+        wy = jnp.where(q0 == qy, 1.0 - ty, 0.0) + jnp.where(q0 == qy - 1, ty, 0.0)
+        for qx in range(PATCH):
+            wx = jnp.where(p0 == qx, 1.0 - tx, 0.0) + jnp.where(p0 == qx - 1, tx, 0.0)
+            w = wy * wx
+            c = (ROW0 + qx) % STRIDE
+            dlt = (ROW0 + qx) // STRIDE
+            for ci in range(3):
+                # keep reads 2D ([1, NXL]); Mosaic rejects 1D vectors
+                val = _shift_lane(fwin[base_row + qy, c, ci : ci + 1, :], dlt)
+                term = w * val
+                out[ci] = term if out[ci] is None else out[ci] + term
+    return out
+
+
+def _kernel(d_hbm, fwp_hbm, fobs_hbm, out_ref, window, fwp, fobs, act_scr,
+            sems, *, rb: int, k: int, n_wp: int, phys: Physics,
+            grid_w: float, grid_h: float):
+    i = pl.program_id(0)
+
+    cp = pltpu.make_async_copy(d_hbm.at[pl.ds(i * rb, rb + 2)], window, sems.at[0])
+    cp.start()
+    fstart = i * (STRIDE * rb) + ROW0
+    cw = pltpu.make_async_copy(
+        fwp_hbm.at[:, pl.ds(fstart, fwp.shape[1])], fwp, sems.at[1]
+    )
+    cw.start()
+    co = pltpu.make_async_copy(
+        fobs_hbm.at[pl.ds(fstart, fobs.shape[0])], fobs, sems.at[2]
+    )
+    co.start()
+    cp.wait()
+    cw.wait()
+    co.wait()
+
+    nxl = window.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nxl), 1).astype(jnp.float32)
+    r0 = (i * rb).astype(jnp.float32)
+
+    # --- per-window-row sampling, despawn, goal/obstacle accelerations ---
+    exs, eys, acts, accfx, accfy, pots = [], [], [], [], [], []
+    for w in range(rb + 2):
+        posx = window[w, :, 0, :]
+        posy = window[w, :, 1, :]
+        velx = window[w, :, 2, :]
+        vely = window[w, :, 3, :]
+        speed = window[w, :, 4, :]
+        dest = window[w, :, 5, :]
+        act = window[w, :, 6, :]
+
+        px = posx * INV_UNIT - 0.5 + FPAD
+        py = posy * INV_UNIT - 0.5 + FPAD
+        bx = jnp.floor(px)
+        by = jnp.floor(py)
+        tx = px - bx
+        ty = py - by
+        # Patch-local taps: p0 = floor(px) - (6x + 3), x = lane - 1;
+        # q0 = floor(py) - 6(r0 - 1 + w) - 3.
+        p0 = bx - (lane - 1.0) * STRIDE - ROW0
+        q0 = by - (r0 - 1.0 + w) * STRIDE - ROW0
+        base_row = STRIDE * w
+
+        pot = jnp.zeros_like(posx)
+        gx = jnp.zeros_like(posx)
+        gy = jnp.zeros_like(posx)
+        for plane in range(n_wp):
+            v0, v1, v2 = _sample_row(fwp.at[plane], base_row, q0, p0, tx, ty)
+            sel = dest == plane
+            pot = jnp.where(sel, v0, pot)
+            gx = jnp.where(sel, v1, gx)
+            gy = jnp.where(sel, v2, gy)
+        dist, dgx, dgy = _sample_row(fobs, base_row, q0, p0, tx, ty)
+
+        # Despawn (sfm.rs:69) + out-of-grid (neighbor_grid.rs:29).
+        in_grid = (posx >= 0.0) & (posx < grid_w) & (posy >= 0.0) & (posy < grid_h)
+        act_new = jnp.where((pot > phys.despawn_potential) & in_grid, act, 0.0)
+
+        # Goal force (sfm.rs:107-109); the Sobel points downhill.
+        g_norm = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy, EPS))
+        ex = gx * g_norm
+        ey = gy * g_norm
+        afx = (ex * speed - velx) / phys.relaxation_time
+        afy = (ey * speed - vely) / phys.relaxation_time
+
+        # Obstacle force (sfm.rs:188-192): repel along -normalize(sobel).
+        d_norm = jax.lax.rsqrt(jnp.maximum(dgx * dgx + dgy * dgy, EPS))
+        mag = phys.obs_strength * jnp.exp(-dist / phys.obs_range)
+        afx = afx - mag * dgx * d_norm
+        afy = afy - mag * dgy * d_norm
+
+        exs.append(ex)
+        eys.append(ey)
+        acts.append(act_new)
+        accfx.append(afx)
+        accfy.append(afy)
+        pots.append(pot)
+
+    # Candidate actives must live in a ref (Mosaic cannot dynamic-slice
+    # values inside the slot loop).
+    for w in range(rb + 2):
+        act_scr[w] = acts[w]
+    ex_w = jnp.stack(exs)
+    ey_w = jnp.stack(eys)
+    act_c = jnp.stack(acts[1 : 1 + rb])
+
+    # --- pairwise pass (center rows 1..rb of the window) ---
+    center = {
+        "px": window[1 : 1 + rb, :, 0, :],
+        "py": window[1 : 1 + rb, :, 1, :],
+        "vx": window[1 : 1 + rb, :, 2, :],
+        "vy": window[1 : 1 + rb, :, 3, :],
+        "ex": ex_w[1 : 1 + rb],
+        "ey": ey_w[1 : 1 + rb],
+    }
+    accx = jnp.stack(accfx)[1 : 1 + rb]
+    accy = jnp.stack(accfy)[1 : 1 + rb]
+
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
+    for dy in (-1, 0, 1):
+        def body(j, acc, dy=dy):
+            row = {
+                "px": window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 0, :],
+                "py": window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 1, :],
+                "vx": window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 2, :],
+                "vy": window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 3, :],
+                "act": act_scr[1 + dy : 1 + dy + rb, pl.ds(j, 1), :],
+            }
+            for dxo in (-1, 0, 1):
+                cand = {name: _shift_lane(arr, dxo) for name, arr in row.items()}
+                self_slot = (slot_iota == j) if (dy == 0 and dxo == 0) else None
+                acc = _pair_accum(acc, center, cand, phys, self_slot)
+            return acc
+
+        accx, accy = jax.lax.fori_loop(0, k, body, (accx, accy))
+
+    # --- integrate (sfm.rs:245-254), center rows only ---
+    dt = phys.delta_time
+    velx = center["vx"]
+    vely = center["vy"]
+    speed = window[1 : 1 + rb, :, 4, :]
+    nvx = velx + accx * dt
+    nvy = vely + accy * dt
+    vmax = speed * phys.max_speed_factor
+    vlen = jnp.sqrt(jnp.maximum(nvx * nvx + nvy * nvy, EPS))
+    scale = jnp.minimum(1.0, vmax / vlen)
+    nvx = nvx * scale
+    nvy = nvy * scale
+    keep = act_c > 0.5
+    npx = jnp.where(keep, center["px"] + (nvx + velx) * (dt * 0.5), center["px"])
+    npy = jnp.where(keep, center["py"] + (nvy + vely) * (dt * 0.5), center["py"])
+    nvx = jnp.where(keep, nvx, velx)
+    nvy = jnp.where(keep, nvy, vely)
+
+    out_ref[:, :, 0, :] = npx
+    out_ref[:, :, 1, :] = npy
+    out_ref[:, :, 2, :] = nvx
+    out_ref[:, :, 3, :] = nvy
+    out_ref[:, :, 4, :] = act_c
+    out_ref[:, :, 5, :] = jnp.stack(pots)[1 : 1 + rb]
+    out_ref[:, :, 6, :] = jnp.zeros_like(npx)
+    out_ref[:, :, 7, :] = jnp.zeros_like(npx)
+
+
+def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
+                      phys: Physics, grid_size: tuple[float, float],
+                      row_block: int = 4, interpret: bool = False) -> jnp.ndarray:
+    """Run the fused sample+forces+integrate kernel.
+
+    d    [ny_pad+2, K, 8, NXL]  (NXL % 128 == 0, ny_pad % row_block == 0)
+    fwp  [n_wp, R6, 6, 4, NXL]  (fields6.Fields6.wp)
+    fobs [R6, 6, 4, NXL]
+    grid_size: world (width, height) in meters for the out-of-grid despawn.
+    Returns OUT [ny_pad, K, 8, NXL].
+    """
+    ny2, k, ch, nxl = d.shape
+    assert ch == 8 and nxl % 128 == 0
+    ny_pad = ny2 - 2
+    rb = row_block
+    assert ny_pad % rb == 0
+    nb = ny_pad // rb
+    n_wp = fwp.shape[0]
+    flen = STRIDE * (rb + 2) + 2
+    need = STRIDE * (ny_pad - rb) + ROW0 + flen
+    assert fwp.shape[1] >= need, (fwp.shape, need)
+
+    kernel = functools.partial(
+        _kernel, rb=rb, k=k, n_wp=n_wp, phys=phys,
+        grid_w=grid_size[0], grid_h=grid_size[1],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (rb, k, 8, nxl), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((ny_pad, k, 8, nxl), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rb + 2, k, 8, nxl), jnp.float32),
+            pltpu.VMEM((n_wp, flen, STRIDE, N_CH, nxl), jnp.float32),
+            pltpu.VMEM((flen, STRIDE, N_CH, nxl), jnp.float32),
+            pltpu.VMEM((rb + 2, k, nxl), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(d, fwp, fobs)
