@@ -82,9 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def make_simulator(args: argparse.Namespace):
     scenario = load_scenario(args.scenario)
+    neighbor_unit = args.neighbor_unit
+    if args.backend == "pallas" and neighbor_unit == 1.4:
+        neighbor_unit = 1.5  # the fused kernel's stride-6 layout needs 1.5 m
     options = SimulatorOptions(
         backend="pallas" if args.backend == "pallas" else "xla",
-        neighbor_grid_unit=args.neighbor_unit,
+        neighbor_grid_unit=neighbor_unit,
         field_grid_unit=args.field_unit,
         use_neighbor_grid=not args.no_neighbor_grid,
         use_distance_map=not args.no_distance_map,

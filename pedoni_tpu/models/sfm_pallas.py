@@ -62,6 +62,7 @@ def make_step_pallas(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
     k = cfg.table_capacity
     c = cfg.capacity
     rb = row_block
+    interpret = jax.default_backend() != "tpu"
     ny_pad = -(-grid.ny // rb) * rb
     nxl = -(-(grid.nx + 3) // 128) * 128
     n_slots_grid = (grid.ny + 2) * (grid.nx + 2) * k
@@ -107,9 +108,10 @@ def make_step_pallas(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
         dk = jnp.pad(dk, ((0, ny_pad - grid.ny), (0, 0), (0, 0),
                           (0, nxl - (grid.nx + 2))))
 
-        # 4. the fused kernel.
+        # 4. the fused kernel (interpret mode off-TPU so the backend
+        # stays usable on CPU test hosts).
         out = fused_step_kernel(dk, fwp, fobs, phys, cfg.scenario.size,
-                                row_block=rb)
+                                row_block=rb, interpret=interpret)
 
         # 5. gather results back by slot.
         out_flat = jnp.transpose(out, (0, 1, 3, 2)).reshape(-1, 8)

@@ -94,11 +94,26 @@ class Simulator:
             use_neighbor_grid=o.use_neighbor_grid,
             use_distance_map=o.use_distance_map,
         )
-        field, obstacles = device_inputs(self.cfg, self.maps)
-        self._field_rows = field.rows
-        self._obstacles = obstacles
-        self._step = jax.jit(make_step(self.cfg, self.maps))
-        log.info("step function built: capacity=%d", self.cfg.capacity)
+        if o.backend == "pallas":
+            from .models import sfm_pallas
+
+            if not sfm_pallas.supports(self.cfg):
+                raise ValueError(
+                    "pallas backend requires neighbor_grid_unit=1.5, "
+                    "field_grid_unit=0.25 and <= 8 waypoints; "
+                    "use backend='xla' for this scenario"
+                )
+            fwp, fobs = sfm_pallas.pallas_device_inputs(self.cfg, self.maps)
+            self._field_rows = fwp  # first step arg
+            self._obstacles = fobs  # second step arg
+            self._step = jax.jit(sfm_pallas.make_step_pallas(self.cfg, self.maps))
+        else:
+            field, obstacles = device_inputs(self.cfg, self.maps)
+            self._field_rows = field.rows
+            self._obstacles = obstacles
+            self._step = jax.jit(make_step(self.cfg, self.maps))
+        log.info("step function built: capacity=%d backend=%s",
+                 self.cfg.capacity, o.backend)
 
     def _grow(self) -> None:
         old_cap = self.cfg.capacity
