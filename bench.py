@@ -111,10 +111,25 @@ def main() -> int:
     import jax
 
     t0 = time.perf_counter()
-    step, state, cfg = build(
-        args.agents, args.density, args.seed, args.backend,
-        args.table_capacity, args.chunk_size,
-    )
+    try:
+        step, state, cfg = build(
+            args.agents, args.density, args.seed, args.backend,
+            args.table_capacity, args.chunk_size,
+        )
+        if args.backend == "pallas":  # force compile inside the guard
+            state, _ = step(state)
+            jax.block_until_ready(state)
+    except Exception as e:  # pragma: no cover - safety net for the driver
+        if args.backend == "pallas":
+            print(f"# pallas backend failed ({type(e).__name__}: {e}); "
+                  "falling back to xla", file=sys.stderr)
+            args.backend = "xla"
+            step, state, cfg = build(
+                args.agents, args.density, args.seed, "xla",
+                args.table_capacity, args.chunk_size,
+            )
+        else:
+            raise
     if args.verbose:
         print(f"# build: {time.perf_counter() - t0:.1f}s, capacity={cfg.capacity}",
               file=sys.stderr)
