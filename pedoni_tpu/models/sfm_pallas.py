@@ -109,9 +109,19 @@ def make_step_pallas(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
                           (0, nxl - (grid.nx + 2))))
 
         # 4. the fused kernel (interpret mode off-TPU so the backend
-        # stays usable on CPU test hosts).
+        # stays usable on CPU test hosts).  Per-block occupancy bound: max
+        # active slots of any cell in each block's 3-row window (dense
+        # reduce; lets the kernel's slot loop skip empty ranks).
+        occ = jnp.sum(dk[:, :, 6, :] > 0.5, axis=1)  # [ny_pad+2, NXL]
+        row_max = jnp.max(occ, axis=1)  # [ny_pad+2]
+        nb = ny_pad // rb
+        win = jnp.stack([
+            jnp.max(jax.lax.dynamic_slice_in_dim(
+                row_max, i * rb, rb + 2, axis=0))
+            for i in range(nb)
+        ]).astype(jnp.int32)
         out = fused_step_kernel(dk, fwp, fobs, phys, cfg.scenario.size,
-                                row_block=rb, interpret=interpret)
+                                row_block=rb, interpret=interpret, jmax=win)
 
         # 5. gather results back by slot.
         out_flat = jnp.transpose(out, (0, 1, 3, 2)).reshape(-1, 8)

@@ -76,8 +76,8 @@ def _sample_row(fwin, base_row: int, q0, p0, tx, ty):
     return out
 
 
-def _kernel(d_hbm, fwp_hbm, fobs_hbm, out_ref, window, fwp, fobs, act_scr,
-            sems, *, rb: int, k: int, n_wp: int, phys: Physics,
+def _kernel(jmax_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref, window, fwp, fobs,
+            act_scr, sems, *, rb: int, k: int, n_wp: int, phys: Physics,
             grid_w: float, grid_h: float):
     i = pl.program_id(0)
 
@@ -178,6 +178,9 @@ def _kernel(d_hbm, fwp_hbm, fobs_hbm, out_ref, window, fwp, fobs, act_scr,
     accx = jnp.stack(accfx)[1 : 1 + rb]
     accy = jnp.stack(accfy)[1 : 1 + rb]
 
+    # Occupancy bound: no cell in this block's window holds more than
+    # jmax agents, so candidate slots >= jmax are all empty — skip them.
+    jmax = jmax_ref[pl.program_id(0)]
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
     for dy in (-1, 0, 1):
         def body(j, acc, dy=dy):
@@ -194,7 +197,7 @@ def _kernel(d_hbm, fwp_hbm, fobs_hbm, out_ref, window, fwp, fobs, act_scr,
                 acc = _pair_accum(acc, center, cand, phys, self_slot)
             return acc
 
-        accx, accy = jax.lax.fori_loop(0, k, body, (accx, accy))
+        accx, accy = jax.lax.fori_loop(0, jmax, body, (accx, accy))
 
     # --- integrate (sfm.rs:245-254), center rows only ---
     dt = phys.delta_time
@@ -226,13 +229,16 @@ def _kernel(d_hbm, fwp_hbm, fobs_hbm, out_ref, window, fwp, fobs, act_scr,
 
 def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
                       phys: Physics, grid_size: tuple[float, float],
-                      row_block: int = 4, interpret: bool = False) -> jnp.ndarray:
+                      row_block: int = 4, interpret: bool = False,
+                      jmax: jnp.ndarray | None = None) -> jnp.ndarray:
     """Run the fused sample+forces+integrate kernel.
 
     d    [ny_pad+2, K, 8, NXL]  (NXL % 128 == 0, ny_pad % row_block == 0)
     fwp  [n_wp, R6, 6, 4, NXL]  (fields6.Fields6.wp)
     fobs [R6, 6, 4, NXL]
     grid_size: world (width, height) in meters for the out-of-grid despawn.
+    jmax [nb] i32: per-block occupancy bound (max agents in any cell of the
+    block's 3-row window); None disables the optimization (bound = K).
     Returns OUT [ny_pad, K, 8, NXL].
     """
     ny2, k, ch, nxl = d.shape
@@ -246,6 +252,9 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
     need = STRIDE * (ny_pad - rb) + ROW0 + flen
     assert fwp.shape[1] >= need, (fwp.shape, need)
 
+    if jmax is None:
+        jmax = jnp.full((nb,), k, jnp.int32)
+
     kernel = functools.partial(
         _kernel, rb=rb, k=k, n_wp=n_wp, phys=phys,
         grid_w=grid_size[0], grid_h=grid_size[1],
@@ -254,6 +263,7 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
         kernel,
         grid=(nb,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -273,4 +283,4 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(d, fwp, fobs)
+    )(jmax, d, fwp, fobs)
