@@ -19,7 +19,6 @@ import signal
 import time
 from pathlib import Path
 
-from .diagnostics import DiagnosticLog
 from .physics import Physics
 from .scenario import load_scenario
 from .sim import Simulator, SimulatorOptions

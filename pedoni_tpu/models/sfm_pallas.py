@@ -18,7 +18,6 @@ only.  The per-step n_overflow metric reports them.
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

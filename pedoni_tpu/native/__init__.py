@@ -14,7 +14,6 @@ from __future__ import annotations
 import ctypes
 import logging
 import subprocess
-import sysconfig
 import threading
 from pathlib import Path
 

@@ -35,7 +35,6 @@ import dataclasses
 import math
 import os
 import pathlib
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +53,7 @@ from ..models.sfm import (
 )
 from ..ops import forcepass, forces as F
 from ..ops.neighbor import CellGrid
-from ..ops.sampling import DeviceField, sample_field
+from ..ops.sampling import sample_field
 
 AXIS = "x"
 
