@@ -134,20 +134,22 @@ def main() -> int:
         print(f"# build: {time.perf_counter() - t0:.1f}s, capacity={cfg.capacity}",
               file=sys.stderr)
 
+    # NOTE: jax.block_until_ready can return early on tunneled device
+    # platforms; the only trustworthy fence is fetching a scalar that
+    # depends on the computation.  Time across that fetch.
     t0 = time.perf_counter()
     for _ in range(args.warmup):
         state, metrics = step(state)
-    jax.block_until_ready(state)
+    n_warm = int(metrics.n_active)  # hard sync
     if args.verbose:
         print(f"# warmup({args.warmup}): {time.perf_counter() - t0:.1f}s, "
-              f"active={int(metrics.n_active)}", file=sys.stderr)
+              f"active={n_warm}", file=sys.stderr)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = step(state)
-    jax.block_until_ready(state)
+    n_active = int(metrics.n_active)  # hard sync before reading the clock
     elapsed = time.perf_counter() - t0
-    n_active = int(metrics.n_active)
 
     steps_per_sec = args.steps / elapsed
     agent_steps = n_active * steps_per_sec
