@@ -54,6 +54,10 @@ class SimulatorOptions:
 
 class Simulator:
     def __init__(self, options: SimulatorOptions, scenario: Scenario) -> None:
+        if options.backend == "pallas" and options.neighbor_grid_unit == 1.4:
+            # The fused kernel's stride-6 field layout needs 1.5 m cells;
+            # auto-switch when the unit was left at the reference default.
+            options = dataclasses.replace(options, neighbor_grid_unit=1.5)
         self.options = options
         self.scenario = scenario
 
