@@ -125,10 +125,12 @@ def run_headless(args: argparse.Namespace) -> Path:
     signal.signal(signal.SIGINT, lambda *a: interrupted.append(True))
 
     renderer = None
+    keys = None
     if args.render:
-        from .renderer import TerminalRenderer
+        from .renderer import KeyPoller, TerminalRenderer
 
         renderer = TerminalRenderer(sim.scenario)
+        keys = KeyPoller()  # SPACE toggles pause (renderer/mod.rs:121-136)
 
     dt = sim.options.physics.delta_time
     min_interval = dt / args.speed if args.speed > 0 else 0.0
@@ -138,8 +140,18 @@ def run_headless(args: argparse.Namespace) -> Path:
 
         jax.profiler.start_trace(args.profile)
 
+    paused = False
     while not interrupted:
         start = time.perf_counter()
+        if keys is not None:
+            for ch in keys.poll():
+                if ch == " ":
+                    paused = not paused
+                elif ch in ("q", "Q"):
+                    interrupted.append(True)
+        if paused:
+            time.sleep(0.05)
+            continue
         rec = sim.tick()
         diag.push(rec)
         if sim.step_count % 100 == 0:

@@ -136,3 +136,43 @@ def save_frame(scenario: Scenario, pos: np.ndarray, dest: np.ndarray,
     ax.set_aspect("equal")
     fig.savefig(path, dpi=dpi, bbox_inches="tight")
     plt.close(fig)
+
+
+class KeyPoller:
+    """Non-blocking single-key reader for the terminal render loop — the
+    counterpart of the reference GUI's keyboard handling (Space pauses,
+    renderer/mod.rs:121-136; we add 'q' to quit).  No-ops when stdin is not
+    a tty (pipes, tests)."""
+
+    def __init__(self) -> None:
+        self._enabled = False
+        try:
+            import termios
+            import tty
+
+            self._fd = sys.stdin.fileno()
+            if sys.stdin.isatty():
+                self._old = termios.tcgetattr(self._fd)
+                tty.setcbreak(self._fd)
+                self._enabled = True
+        except Exception:
+            pass
+
+    def poll(self) -> list[str]:
+        if not self._enabled:
+            return []
+        import select
+
+        out = []
+        while select.select([sys.stdin], [], [], 0)[0]:
+            out.append(sys.stdin.read(1))
+        return out
+
+    def __del__(self) -> None:
+        if self._enabled:
+            try:
+                import termios
+
+                termios.tcsetattr(self._fd, termios.TCSADRAIN, self._old)
+            except Exception:
+                pass
