@@ -138,7 +138,7 @@ def make_step_pallas(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
             vel=jnp.where(valid[:, None], res[:, 2:4], sp[:, 2:4]),
             speed=sp[:, 4],
             dest=sp[:, 5].astype(jnp.int32),
-            active=jnp.where(valid, res[:, 4] > 0.5, act_s),
+            active=jnp.where(valid, res[:, 6] > 0.5, act_s),
         )
 
         new_state = SimState(agents=agents, key=key, step=state.step + 1)

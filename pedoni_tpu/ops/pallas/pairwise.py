@@ -43,6 +43,14 @@ def _pair_accum(acc, center, cand, phys: Physics, self_slot=None):
     center: dict of [rb, K, NX] channel arrays; cand: dict of [rb, 1, NX].
     ``self_slot``: when not None, a [1, K, 1] bool mask that is True for the
     center slot equal to the candidate slot (same cell, k == j).
+
+    Strength-reduced form of sfm.rs:129-153 (the VPU here is issue-bound
+    at ~1.5e12 elem-ops/s — see PLAN.md round-2 calibration — so every op
+    counts): all norms via one rsqrt (x·rsqrt(x) == sqrt(x) to 1 ulp,
+    lax.rsqrt is full precision on this TPU), and the FOV test divided
+    through by the (positive) force magnitude so |force| never
+    materializes: e·(−f) ≥ |f|·cosφ  ⇔  −(e·u) ≥ |u|·cosφ with
+    f = mag·u, mag ≥ 0.
     """
     dt = phys.delta_time
     dx = center["px"] - cand["px"]
@@ -53,32 +61,29 @@ def _pair_accum(acc, center, cand, phys: Physics, self_slot=None):
     if self_slot is not None:
         valid = valid & jnp.logical_not(self_slot)
 
-    d = jnp.sqrt(jnp.maximum(d2, EPS))
-    inv_d = 1.0 / d
-    dirx = dx * inv_d
-    diry = dy * inv_d
-
     t1x = dx - cand["vx"] * dt
     t1y = dy - cand["vy"] * dt
-    t1l = jnp.sqrt(jnp.maximum(t1x * t1x + t1y * t1y, EPS))
-    inv_t1l = 1.0 / t1l
-    t2 = d + t1l
+    t1l2 = t1x * t1x + t1y * t1y
+    inv_d = jax.lax.rsqrt(jnp.maximum(d2, EPS))
+    inv_t1l = jax.lax.rsqrt(jnp.maximum(t1l2, EPS))
+    t2 = d2 * inv_d + t1l2 * inv_t1l  # d + |t1|
     v2 = cand["vx"] * cand["vx"] + cand["vy"] * cand["vy"]
-    b = jnp.sqrt(jnp.maximum(t2 * t2 - v2 * (dt * dt), EPS)) * 0.5
+    b2 = jnp.maximum(t2 * t2 - v2 * (dt * dt), EPS)
+    inv_b = jax.lax.rsqrt(b2)  # 1 / (2b)
+    # mag/(4b) with b = sqrt(b2)/2: strength·exp(−b/σ)·t2 · inv_b/2
+    mag = (0.5 * phys.ped_strength) * jnp.exp(
+        (b2 * inv_b) * (-0.5 / phys.ped_range)
+    ) * t2 * inv_b
 
-    scale = t2 / (4.0 * b)
-    nbx = scale * (dirx + t1x * inv_t1l)
-    nby = scale * (diry + t1y * inv_t1l)
-    mag = phys.ped_strength * jnp.exp(-b / phys.ped_range)
-    fx = mag * nbx
-    fy = mag * nby
+    ux = dx * inv_d + t1x * inv_t1l
+    uy = dy * inv_d + t1y * inv_t1l
+    u2 = ux * ux + uy * uy
+    ulen = u2 * jax.lax.rsqrt(jnp.maximum(u2, EPS))
+    in_front = -(center["ex"] * ux + center["ey"] * uy) >= ulen * phys.cos_phi
 
-    f_len = jnp.sqrt(jnp.maximum(fx * fx + fy * fy, EPS))
-    in_front = (center["ex"] * (-fx) + center["ey"] * (-fy)) >= f_len * phys.cos_phi
-    damp = jnp.where(in_front, 1.0, phys.fov_damping)
-
-    w = jnp.where(valid, damp, 0.0)
-    return acc[0] + fx * w, acc[1] + fy * w
+    w = jnp.where(valid, jnp.where(in_front, 1.0, phys.fov_damping), 0.0)
+    m = w * mag
+    return acc[0] + m * ux, acc[1] + m * uy
 
 
 _CAND_CH = (("px", 0), ("py", 1), ("vx", 2), ("vy", 3), ("act", 6))

@@ -1,0 +1,150 @@
+"""In-kernel rebinning: compact the post-step grid into fresh cell bins.
+
+This is the round-2 replacement for the per-step XLA pipeline
+argsort -> packed permute -> layout -> slot scatter (~78 ms at 1M agents,
+PLAN.md): agent state stays in the cell grid between steps and this kernel
+rebuilds the bins from the *integrated* positions written by the fused step
+kernel (ops/pallas/step_kernel.py) — the reference's per-tick counting sort
+(sfm.rs:58-77, neighbor_grid.rs:22-36) expressed as a dense VPU pass.
+
+Because agents move at most ``max_speed_factor * speed * dt`` (< one
+1.5 m cell for any sane desired speed), every output cell's new occupants
+come from its 3x3 neighborhood, which sits inside the block's DMA window.
+For each center row the kernel walks the 9*jmax candidates in a fixed
+(dy, j, dx) order, keeping a per-lane running count ``cnt``; a candidate
+landing in this cell is written to slot ``cnt`` via a one-hot
+``(k_iota == cnt)`` select-accumulate.  Output bins are fully compacted
+(rank-dense, no holes), so the per-cell count doubles as the free-slot
+cursor for the XLA-side spawn scatter and the next step's occupancy bound.
+
+Input  G  [ny_pad+2, K, 8, NXL]: the step kernel's output, padded with one
+                                 zero ghost row on each side (channel
+                                 layout: pos, vel, speed, dest, active, -).
+Output D' [ny_pad,   K, 8, NXL]: fresh bins; channels 0-6 as in G,
+                                 channel 7 = per-cell active count
+                                 (broadcast over slots).
+
+Agents whose new cell is full (cnt >= K) are dropped — count them as
+sum(G.active) - sum(D'.active) on the XLA side.  Agents that left the
+field vanish here exactly like the reference's out-of-grid drop
+(neighbor_grid.rs:29).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shift_lane(arr, delta: int):
+    """result[..., l] = arr[..., l + delta] (circular; wrapped lanes are
+    killed by the landing mask — a wrapped candidate's target lane is at
+    the far side of the grid)."""
+    if delta == 0:
+        return arr
+    return pltpu.roll(arr, shift=(-delta) % arr.shape[-1], axis=arr.ndim - 1)
+
+
+def _kernel(jmax_ref, g_hbm, out_ref, window, sem, *, rb: int, k: int,
+            unit: float, nx_cells: int, ny_cells: int):
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(g_hbm.at[pl.ds(i * rb, rb + 2)], window, sem)
+    cp.start()
+    cp.wait()
+
+    nxl = window.shape[-1]
+    # Output cell at lane l is cell x = l - 1; center row w is cell row
+    # i*rb + w.
+    lane = jax.lax.broadcasted_iota(jnp.float32, (1, 1, nxl), 2)
+    row_f = (jax.lax.broadcasted_iota(jnp.float32, (rb, 1, 1), 0)
+             + jnp.float32(i * rb))
+    k_iota = jax.lax.broadcasted_iota(jnp.float32, (1, k, 1), 1)
+
+    cnt = jnp.zeros((rb, 1, nxl), jnp.float32)
+    outs = tuple(jnp.zeros((rb, k, nxl), jnp.float32) for _ in range(7))
+    jmax = jmax_ref[i]
+
+    for dy in (-1, 0, 1):
+        def body(j, carry, dy=dy):
+            cnt, *outs = carry
+            ch = [window[1 + dy : 1 + dy + rb, pl.ds(j, 1), c, :]
+                  for c in range(7)]
+            act = ch[6] > 0.5
+            # f32 division, matching ops/neighbor.compute_cell_ids exactly
+            # (an inv-unit multiply rounds differently at cell boundaries).
+            tgt_lane = jnp.floor(ch[0] / unit) + 1.0
+            tgt_row = jnp.floor(ch[1] / unit)
+            # Off-field agents (ghost column / pad rows) vanish like the
+            # reference's out-of-grid drop (neighbor_grid.rs:29).
+            lands_row = (
+                act
+                & (tgt_row == row_f)
+                & (tgt_row <= jnp.float32(ny_cells - 1))
+                & (tgt_lane >= 1.0)
+                & (tgt_lane <= jnp.float32(nx_cells))
+            )
+            for dxo in (-1, 0, 1):
+                sh = [_shift_lane(c, dxo) for c in ch]
+                lands = (_shift_lane(lands_row, dxo)
+                         & (_shift_lane(tgt_lane, dxo) == lane))
+                onehot = jnp.where((k_iota == cnt) & lands, 1.0, 0.0)
+                outs = [o + onehot * s for o, s in zip(outs, sh)]
+                cnt = cnt + jnp.where(lands, 1.0, 0.0)
+            return (cnt, *outs)
+
+        cnt, *outs = jax.lax.fori_loop(0, jmax, body, (cnt, *outs))
+
+    for c in range(7):
+        out_ref[:, :, c, :] = outs[c]
+    out_ref[:, :, 7, :] = jnp.broadcast_to(cnt, (rb, k, nxl))
+
+
+def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
+                 ny_cells: int | None = None, row_block: int = 4,
+                 interpret: bool = False,
+                 jmax: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Rebin the post-step grid ``g`` into fresh compacted cell bins.
+
+    g    [ny_pad+2, K, 8, NXL]  (NXL % 128 == 0, ny_pad % row_block == 0;
+                                 rows 0 and ny_pad+1 must be empty ghosts)
+    unit: neighbor-cell size in meters.
+    nx_cells / ny_cells: real field extent in cells (agents landing outside
+    vanish); ny_cells defaults to ny_pad.
+    jmax [nb] i32: per-block occupancy bound (max occupied slots of any
+    cell in the block's 3-row window); None means K.
+    Returns D' [ny_pad, K, 8, NXL] with channel 7 = per-cell count.
+    """
+    ny2, k, ch, nxl = g.shape
+    assert ch == 8 and nxl % 128 == 0
+    ny_pad = ny2 - 2
+    rb = row_block
+    assert ny_pad % rb == 0
+    nb = ny_pad // rb
+    if ny_cells is None:
+        ny_cells = ny_pad
+    if jmax is None:
+        jmax = jnp.full((nb,), k, jnp.int32)
+
+    kernel = functools.partial(_kernel, rb=rb, k=k, unit=unit,
+                               nx_cells=nx_cells, ny_cells=ny_cells)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (rb, k, 8, nxl), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((ny_pad, k, 8, nxl), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rb + 2, k, 8, nxl), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(jmax, g)

@@ -19,9 +19,11 @@ lane l is F[6w + q, (3+p) % 6, ch, l + (3+p)//6] for window row w.
 
 Input  D  [ny_pad+2, K, 8, NXL]: 0 pos.x, 1 pos.y, 2 vel.x, 3 vel.y,
                                  4 speed, 5 dest, 6 active, 7 spare
-Output OUT [ny_pad,  K, 8, NXL]: 0 pos.x', 1 pos.y', 2 vel.x', 3 vel.y',
-                                 4 active' (post-despawn), 5 potential,
-                                 6/7 spare
+Output OUT [ny_pad,  K, 8, NXL]: same channel layout, post-step values
+                                 (active is post-despawn; speed/dest pass
+                                 through) — so the rebin kernel
+                                 (ops/pallas/rebin.py) and the sharded
+                                 ghost-row exchange consume OUT directly.
 
 Physics per sfm.rs:91-255; despawn per sfm.rs:69 (+ out-of-grid,
 neighbor_grid.rs:29).  Cell (r, x) holds agents at D row r+1, lane x+1.
@@ -221,10 +223,10 @@ def _kernel(jmax_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref, window, fwp, fobs,
     out_ref[:, :, 1, :] = npy
     out_ref[:, :, 2, :] = nvx
     out_ref[:, :, 3, :] = nvy
-    out_ref[:, :, 4, :] = act_c
-    out_ref[:, :, 5, :] = jnp.stack(pots)[1 : 1 + rb]
-    out_ref[:, :, 6, :] = jnp.zeros_like(npx)
-    out_ref[:, :, 7, :] = jnp.zeros_like(npx)
+    out_ref[:, :, 4, :] = speed
+    out_ref[:, :, 5, :] = window[1 : 1 + rb, :, 5, :]
+    out_ref[:, :, 6, :] = act_c
+    out_ref[:, :, 7, :] = jnp.stack(pots)[1 : 1 + rb]
 
 
 def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,

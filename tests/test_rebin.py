@@ -1,0 +1,134 @@
+"""Rebin kernel (ops/pallas/rebin.py) vs a direct NumPy re-binning.
+
+The kernel's contract: given the post-step grid (agents possibly displaced
+by up to one cell), produce fully compacted bins where each output cell
+holds the agents whose floor(pos/unit) lands there, in the kernel's fixed
+(dy, slot, dx) candidate order; overflow beyond K dropped; agents landing
+outside the [nx_cells, ny_cells] field vanish (neighbor_grid.rs:29).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pedoni_tpu.ops.pallas.rebin import rebin_kernel
+
+UNIT = 1.5
+K = 6
+NXL = 128
+NX = 20  # real field extent in cells (lanes 1..20)
+
+
+def _numpy_rebin(g: np.ndarray, unit: float, nx_cells: int,
+                 ny_cells: int) -> np.ndarray:
+    """Reference re-binning in the kernel's candidate order."""
+    ny2, kk, ch, nxl = g.shape
+    ny = ny2 - 2
+    out = np.zeros((ny, kk, ch, nxl), np.float32)
+    for r in range(ny):          # output cell row r lives at g row r+1
+        for lane in range(nxl):  # output cell x = lane - 1
+            cnt = 0
+            for dy in (-1, 0, 1):
+                for j in range(kk):
+                    for dxo in (-1, 0, 1):
+                        src_lane = (lane + dxo) % nxl
+                        cand = g[r + 1 + dy, j, :, src_lane]
+                        if cand[6] <= 0.5:
+                            continue
+                        tgt_lane = np.floor(np.float32(cand[0]) / np.float32(unit)) + 1
+                        tgt_row = np.floor(np.float32(cand[1]) / np.float32(unit))
+                        if not (1 <= tgt_lane <= nx_cells and 0 <= tgt_row <= ny_cells - 1):
+                            continue
+                        if tgt_row == r and tgt_lane == lane:
+                            if cnt < kk:
+                                out[r, cnt, :7, lane] = cand[:7]
+                            cnt += 1
+            out[r, :, 7, lane] = cnt
+    return out
+
+
+def _make_grid(ny, seed=0, n_per_cell=3, jitter=0.9):
+    """Bins with agents placed in their cells, positions displaced by up to
+    ``jitter`` meters (< one cell) so some land in a neighbor cell."""
+    rng = np.random.default_rng(seed)
+    g = np.zeros((ny + 2, K, 8, NXL), np.float32)
+    for r in range(ny):
+        for x in range(NX):
+            n = rng.integers(0, n_per_cell + 1)
+            for j in range(n):
+                base = np.array([x * UNIT, r * UNIT]) + rng.uniform(0.05, UNIT - 0.05, 2)
+                p = base + rng.uniform(-jitter, jitter, 2)
+                g[r + 1, j, 0:2, x + 1] = p
+                g[r + 1, j, 2:4, x + 1] = rng.normal(0, 0.5, 2)
+                g[r + 1, j, 4, x + 1] = rng.uniform(0.8, 1.8)
+                g[r + 1, j, 5, x + 1] = rng.integers(0, 3)
+                g[r + 1, j, 6, x + 1] = float(rng.uniform() > 0.15)  # some dead
+    return g
+
+
+def test_rebin_matches_numpy():
+    ny = 8
+    g = _make_grid(ny, seed=1)
+    want = _numpy_rebin(g, UNIT, NX, ny)
+    got = np.asarray(rebin_kernel(jnp.asarray(g), UNIT, NX, ny,
+                                  row_block=2, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_rebin_agent_conservation():
+    """Active in-field agents are conserved up to counted cell overflow."""
+    ny = 6
+    g = _make_grid(ny, seed=2)
+    want = _numpy_rebin(g, UNIT, NX, ny)
+    got = np.asarray(rebin_kernel(jnp.asarray(g), UNIT, NX, ny,
+                                  row_block=2, interpret=True))
+    demand = want[:, 0, 7, :]
+    kept = np.minimum(demand, K).sum()
+    n_out = (got[:, :, 6, :] > 0.5).sum()
+    assert n_out == kept
+    # multiset of kept positions is preserved slot-order-independently
+    a_out = got.transpose(0, 1, 3, 2)[got[:, :, 6, :] > 0.5]
+    a_want = want.transpose(0, 1, 3, 2)[want[:, :, 6, :] > 0.5]
+    np.testing.assert_allclose(
+        np.sort(a_out[:, 0] * 1e4 + a_out[:, 1]),
+        np.sort(a_want[:, 0] * 1e4 + a_want[:, 1]), rtol=1e-6)
+
+
+def test_rebin_overflow_drops_in_order():
+    """More than K agents landing in one cell: first K in candidate order
+    are kept, the rest dropped, channel-7 count reports full demand."""
+    ny = 4
+    g = np.zeros((ny + 2, K, 8, NXL), np.float32)
+    # 3 source cells (row 1, x=4,5,6) each with K agents, all moving into
+    # cell (1, 5): 18 candidates for 6 slots.
+    tx, ty = 5 * UNIT + 0.7, 1 * UNIT + 0.7
+    for x in (4, 5, 6):
+        for j in range(K):
+            g[2, j, 0, x + 1] = tx
+            g[2, j, 1, x + 1] = ty
+            g[2, j, 4, x + 1] = 100 * x + j  # tag in the speed channel
+            g[2, j, 6, x + 1] = 1.0
+    got = np.asarray(rebin_kernel(jnp.asarray(g), UNIT, NX, ny,
+                                  row_block=2, interpret=True))
+    cell = got[1, :, :, 6]  # row 1, lane 6 = cell (1, 5)
+    assert (cell[:, 6] > 0.5).all()
+    assert got[1, 0, 7, 6] == 18  # demand recorded
+    # candidate order: (dy=0, j, dx=-1,0,1) -> j=0: x=4,5,6; j=1: ...
+    np.testing.assert_array_equal(cell[:, 4], [400, 500, 600, 401, 501, 601])
+    assert (got[:, :, 6, :] > 0.5).sum() == K
+
+
+def test_rebin_out_of_field_vanish():
+    """Agents whose new position floors outside the field disappear
+    (reference neighbor_grid.rs:29 semantics), including into the ghost
+    column (x < 0) and pad rows."""
+    ny = 4
+    g = np.zeros((ny + 2, K, 8, NXL), np.float32)
+    g[1, 0, 0:2, 1] = (-0.3, 0.5)   # x < 0 -> would land at ghost lane 0
+    g[1, 0, 6, 1] = 1.0
+    g[ny, 1, 0:2, 3] = (2.0, ny * UNIT + 0.2)  # past the last cell row
+    g[ny, 1, 6, 3] = 1.0
+    g[1, 2, 0:2, NX] = (NX * UNIT + 0.1, 0.5)  # past the last cell column
+    g[1, 2, 6, NX] = 1.0
+    got = np.asarray(rebin_kernel(jnp.asarray(g), UNIT, NX, ny,
+                                  row_block=2, interpret=True))
+    assert (got[:, :, 6, :] > 0.5).sum() == 0

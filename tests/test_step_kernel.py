@@ -112,9 +112,12 @@ def test_fused_kernel_matches_xla_step():
     gy, gxx, gk = np.unravel_index(slot, (grid.ny + 2, grid.nx + 2, k))
     res = out[gy - 1, gk, :, gxx]  # [n, 8]
 
-    np.testing.assert_array_equal(res[:, 4] > 0.5, alive_ref)
-    np.testing.assert_allclose(res[:, 5], np.asarray(fs.potential),
+    np.testing.assert_array_equal(res[:, 6] > 0.5, alive_ref)
+    np.testing.assert_allclose(res[:, 7], np.asarray(fs.potential),
                                rtol=1e-4, atol=1e-4)
+    # speed/dest pass through unchanged (the rebin kernel relies on it).
+    np.testing.assert_allclose(res[:, 4], dk[gy, gk, 4, gxx], rtol=1e-6)
+    np.testing.assert_array_equal(res[:, 5], dk[gy, gk, 5, gxx])
     np.testing.assert_allclose(res[:, 0:2], np.asarray(p_ref),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(res[:, 2:4], np.asarray(v_ref),
