@@ -4,10 +4,11 @@
 Synthetic dense crowd (the workload class of the reference's generated
 random/sparse scenarios, scaled to the BASELINE.json north star): N agents
 uniformly placed on a large open field, all walking toward a goal edge,
-full physics (goal + pairwise + obstacle forces, cell sort, despawn checks).
-Default backend: the fused Pallas step kernel (sampling + despawn + forces +
-integration in one kernel over the cell grid); --backend xla selects the
-dense shifted-slice pass at the reference's 1.4 m neighbor unit.
+full physics (goal + pairwise + obstacle forces, rebinning, despawn checks).
+Default backend: "grid" — the cell-resident two-kernel step (fused
+sample/force/integrate kernel + in-kernel rebin; models/sfm_grid.py).
+--backend pallas selects the round-1 flat fused-kernel path, --backend xla
+the dense shifted-slice pass at the reference's 1.4 m neighbor unit.
 
 Prints ONE JSON line:
     {"metric": "agent_steps_per_sec", "value": ..., "unit": "agent-steps/s",
@@ -55,7 +56,7 @@ def build(n_agents: int, density: float, seed: int, backend: str,
     cfg = StepConfig.build(
         scenario,
         capacity=capacity,
-        neighbor_grid_unit=1.5 if backend == "pallas" else 1.4,
+        neighbor_grid_unit=1.4 if backend == "xla" else 1.5,
         table_capacity=table_capacity,
         chunk_size=chunk_size,
         use_neighbor_grid=True,
@@ -75,7 +76,16 @@ def build(n_agents: int, density: float, seed: int, backend: str,
         dest=jnp.asarray(dest), active=jnp.asarray(active),
     )
     state = SimState(agents=agents, key=jax.random.PRNGKey(seed), step=jnp.int32(0))
-    if backend == "pallas":
+    if backend == "grid":
+        from pedoni_tpu.models import sfm_grid, sfm_pallas
+
+        fwp, fobs = sfm_pallas.pallas_device_inputs(cfg, maps)
+        state = jax.jit(lambda s: sfm_grid.bin_state(cfg, s))(state)
+        raw_step = jax.jit(sfm_grid.make_step_grid(cfg, maps))
+
+        def step(s):
+            return raw_step(s, fwp, fobs)
+    elif backend == "pallas":
         from pedoni_tpu.models import sfm_pallas
 
         fwp, fobs = sfm_pallas.pallas_device_inputs(cfg, maps)
@@ -100,8 +110,17 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"],
-                    help="pallas = fused kernel (neighbor unit 1.5 m); xla = dense pass (1.4 m)")
+    ap.add_argument("--backend", default="grid",
+                    choices=["grid", "pallas", "xla"],
+                    help="grid = cell-resident two-kernel step (1.5 m cells, "
+                         "the fast path); pallas = flat fused kernel; "
+                         "xla = dense pass (1.4 m)")
+    ap.add_argument("--allow-fallback", action="store_true",
+                    help="fall back to the next-slower backend if the "
+                         "requested one fails to build (without this flag "
+                         "a backend failure is fatal, so a kernel "
+                         "regression can never silently re-label slower "
+                         "numbers as the headline)")
     ap.add_argument("--table-capacity", type=int, default=14,
                     help="slots per cell; overflow agents freeze for a step (reported)")
     ap.add_argument("--chunk-size", type=int, default=16384)
@@ -111,25 +130,29 @@ def main() -> int:
     import jax
 
     t0 = time.perf_counter()
-    try:
-        step, state, cfg = build(
-            args.agents, args.density, args.seed, args.backend,
-            args.table_capacity, args.chunk_size,
-        )
-        if args.backend == "pallas":  # force compile inside the guard
-            state, _ = step(state)
-            jax.block_until_ready(state)
-    except Exception as e:  # pragma: no cover - safety net for the driver
-        if args.backend == "pallas":
-            print(f"# pallas backend failed ({type(e).__name__}: {e}); "
-                  "falling back to xla", file=sys.stderr)
-            args.backend = "xla"
+    fallback_chain = {"grid": "pallas", "pallas": "xla"}
+    while True:
+        try:
             step, state, cfg = build(
-                args.agents, args.density, args.seed, "xla",
+                args.agents, args.density, args.seed, args.backend,
                 args.table_capacity, args.chunk_size,
             )
-        else:
-            raise
+            if args.backend != "xla":  # force compile inside the guard
+                state, _ = step(state)
+                jax.block_until_ready(state)
+            break
+        except Exception as e:  # pragma: no cover - safety net
+            nxt = fallback_chain.get(args.backend)
+            if nxt is None or not args.allow_fallback:
+                print(f"# FATAL: backend '{args.backend}' failed "
+                      f"({type(e).__name__}: {e}); pass --allow-fallback "
+                      "to bench a slower backend instead", file=sys.stderr)
+                raise
+            print(f"# WARNING: {args.backend} backend failed "
+                  f"({type(e).__name__}: {e}); FALLING BACK to {nxt} — "
+                  "this number is NOT the headline configuration",
+                  file=sys.stderr)
+            args.backend = nxt
     if args.verbose:
         print(f"# build: {time.perf_counter() - t0:.1f}s, capacity={cfg.capacity}",
               file=sys.stderr)
@@ -157,6 +180,7 @@ def main() -> int:
         print(f"# {elapsed*1000/args.steps:.2f} ms/step, active={n_active}, "
               f"{steps_per_sec:.1f} steps/s", file=sys.stderr)
 
+    print(f"# backend={args.backend}", file=sys.stderr)
     print(json.dumps({
         "metric": "agent_steps_per_sec",
         "value": agent_steps,

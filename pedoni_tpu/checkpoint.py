@@ -55,8 +55,10 @@ def load_state(path: str | Path) -> tuple[SimState, int]:
 
 
 def save(sim, path: str | Path) -> None:
-    """Checkpoint a Simulator."""
-    save_state(sim.state, path, step_count=sim.step_count)
+    """Checkpoint a Simulator.  Always stored as flat agent arrays, so a
+    checkpoint written by any backend / device count restores on any
+    other (grid states are unbinned on save, re-binned on restore)."""
+    save_state(sim._to_flat_state(), path, step_count=sim.step_count)
 
 
 def restore(sim, path: str | Path) -> None:
@@ -80,5 +82,5 @@ def restore(sim, path: str | Path) -> None:
                 active=jnp.concatenate([a.active, jnp.zeros((pad,), bool)]),
             )
         )
-    sim.state = state
+    sim.state = sim._from_flat_state(state)
     sim.step_count = step_count

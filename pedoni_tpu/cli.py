@@ -37,8 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-H", "--headless", action="store_true",
                    help="run headless (args.rs:17)")
     p.add_argument("-b", "--backend", default="auto",
-                   choices=["auto", "cpu", "tpu", "xla", "pallas"],
-                   help="compute backend / device (args.rs:20-21)")
+                   choices=["auto", "cpu", "tpu", "xla", "pallas", "grid"],
+                   help="compute backend / device (args.rs:20-21); grid = "
+                        "the cell-resident two-kernel fast path")
+    p.add_argument("--devices", type=int, default=1, metavar="N",
+                   help="shard the simulation over N devices (row strips, "
+                        "grid backend only; the scaling axis the reference "
+                        "lacks)")
     p.add_argument("-s", "--speed", type=float, default=100.0,
                    help="max playback speed multiple of real time (args.rs:23-24)")
     p.add_argument("--no-neighbor-grid", action="store_true",
@@ -82,10 +87,15 @@ def build_parser() -> argparse.ArgumentParser:
 def make_simulator(args: argparse.Namespace):
     scenario = load_scenario(args.scenario)
     neighbor_unit = args.neighbor_unit
-    if args.backend == "pallas" and neighbor_unit == 1.4:
+    if args.backend in ("pallas", "grid") and neighbor_unit == 1.4:
         neighbor_unit = 1.5  # the fused kernel's stride-6 layout needs 1.5 m
+    model_backend = args.backend if args.backend in ("pallas", "grid") else "xla"
+    if getattr(args, "devices", 1) > 1 and model_backend != "grid":
+        model_backend = "grid"  # sharding runs on the grid backend
+        if neighbor_unit == 1.4:
+            neighbor_unit = 1.5
     options = SimulatorOptions(
-        backend="pallas" if args.backend == "pallas" else "xla",
+        backend=model_backend,
         neighbor_grid_unit=neighbor_unit,
         field_grid_unit=args.field_unit,
         use_neighbor_grid=not args.no_neighbor_grid,
@@ -95,6 +105,7 @@ def make_simulator(args: argparse.Namespace):
         capacity=args.capacity,
         seed=args.seed,
         physics=Physics(),
+        n_devices=getattr(args, "devices", 1),
     )
 
     device = None
@@ -141,6 +152,28 @@ def run_headless(args: argparse.Namespace) -> Path:
         jax.profiler.start_trace(args.profile)
 
     paused = False
+    try:
+        _headless_loop(args, sim, diag, interrupted, renderer, keys,
+                       min_interval, paused)
+    finally:
+        if keys is not None:
+            keys.restore()  # never leave the tty in cbreak/no-echo
+
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+        log.info("profiler trace written to %s", args.profile)
+
+    ts = datetime.datetime.now().strftime("%Y-%m-%d_%H%M%S")
+    out = Path(args.log_dir) / f"{ts}_log.json"
+    diag.write(out)
+    log.info("Exported log file: %s", out)
+    return out
+
+
+def _headless_loop(args, sim, diag, interrupted, renderer, keys,
+                   min_interval, paused) -> None:
     while not interrupted:
         start = time.perf_counter()
         if keys is not None:
@@ -181,23 +214,11 @@ def run_headless(args: argparse.Namespace) -> Path:
             from .checkpoint import save
 
             save(sim, Path(args.checkpoint_dir) / f"step_{sim.step_count:08d}.npz")
-        if args.max_steps is not None and diag.total_steps > args.max_steps:
+        if args.max_steps is not None and diag.total_steps >= args.max_steps:
             break
         elapsed = time.perf_counter() - start
         if elapsed < min_interval:
             time.sleep(min_interval - elapsed)
-
-    if args.profile:
-        import jax
-
-        jax.profiler.stop_trace()
-        log.info("profiler trace written to %s", args.profile)
-
-    ts = datetime.datetime.now().strftime("%Y-%m-%d_%H%M%S")
-    out = Path(args.log_dir) / f"{ts}_log.json"
-    diag.write(out)
-    log.info("Exported log file: %s", out)
-    return out
 
 
 def main(argv: list[str] | None = None) -> int:

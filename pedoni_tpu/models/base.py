@@ -74,12 +74,16 @@ class SocialForceModel(PedestrianModel):
     def __init__(self, options, scenario: Scenario, field: Field,
                  capacity: int = 4096, seed: int = 0) -> None:
         physics = getattr(options, "physics", None) or Physics()
-        # External spawning only: strip periodic groups from the step.
+        # External spawning only: strip ALL spawn groups from the step.
+        # The reference trait ctor spawns nothing — the Simulator pushes
+        # once-group pedestrians through spawn_pedestrians (lib.rs:37-52),
+        # so seeding once-groups here too would double-spawn them for a
+        # caller following the reference flow.
         bare = Scenario(
             size=scenario.size,
             waypoints=scenario.waypoints,
             obstacles=scenario.obstacles,
-            pedestrians=tuple(scenario.once_groups),
+            pedestrians=(),
         )
         self.cfg = StepConfig.build(
             bare,

@@ -318,9 +318,13 @@ def make_step(cfg: StepConfig, maps: FieldMaps):
         fs = sample_field(field_rows, map_h, map_w, ext.dest, ext.pos, cfg.field_unit)
         e = F.safe_normalize(fs.pot_grad)
 
-        # Despawn: arrived (potential <= 0.25, sfm.rs:69) or out of grid.
+        # Despawn: arrived (potential <= 0.25, sfm.rs:69) or out of grid
+        # (neighbor_grid.rs:29 silently drops them; here the cell-id
+        # sentinel doubles as the in-grid test so they deactivate instead
+        # of sampling the 1e12 ring forever).
         alive = ext.active & (fs.potential > phys.despawn_potential)
         cid = compute_cell_ids(ext.pos, alive, cfg.grid)
+        alive = cid < cfg.grid.n_cells
 
         # 3. cell-sort and truncate back to capacity; active agents sort to
         # the front (sentinel id for the rest), so truncation only ever

@@ -1,0 +1,254 @@
+"""Cell-resident Pallas backend: agent state lives in the cell grid.
+
+Round-2 flagship step.  The flat-array backends (sfm.py, sfm_pallas.py)
+pay ~78 ms/step at 1M agents in XLA index ops (argsort, packed permute,
+slot scatter, result gather — PLAN.md round-2 measurements) just to move
+agents between the flat array and the cell grid every step.  Here the grid
+IS the state: ``D [ny_pad+2, K, 8, NXL]`` stays resident in HBM and each
+step runs exactly two Pallas kernels —
+
+1. ``fused_step_kernel``  (ops/pallas/step_kernel.py): sampling, despawn,
+   all forces, integration; reference physics sfm.rs:91-255.
+2. ``rebin_kernel``       (ops/pallas/rebin.py): re-bins integrated
+   positions into fresh compacted cells; the reference's per-tick
+   counting sort (sfm.rs:58-77) with out-of-grid drop
+   (neighbor_grid.rs:29).
+
+plus an XLA-side spawn scatter of at most S candidate rows (S tiny,
+static) BEFORE kernel 1 so new agents receive forces the same tick the
+reference spawns them (lib.rs:64-90).
+
+Channel layout (dim 2 of D): 0 pos.x, 1 pos.y, 2 vel.x, 3 vel.y, 4 speed,
+5 dest, 6 active, 7 per-cell active count (valid at slot 0; the spawn
+scatter updates only slot 0, the rebin broadcasts it).
+
+Deviations from the flat path, both reported per step:
+- agents landing in a full cell are DROPPED (n_overflow), not frozen;
+- agents leaving the field vanish at the rebin (inside n_dropped), one
+  step earlier than the flat path's next-step despawn.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import FieldMaps
+from ..ops import forcepass
+from ..ops.neighbor import compute_cell_ids
+from ..ops.pallas.rebin import rebin_kernel
+from ..ops.pallas.step_kernel import fused_step_kernel
+from .sfm import AgentState, SimState, StepConfig, StepMetrics, _spawn_candidates
+from .sfm_pallas import pallas_device_inputs, supports  # noqa: F401  (same limits)
+
+
+class GridState(NamedTuple):
+    d: jnp.ndarray  # [ny_pad+2, K, 8, NXL] cell-resident agent state
+    key: jnp.ndarray  # PRNG key
+    step: jnp.ndarray  # i32
+
+
+class GridDims(NamedTuple):
+    ny_pad: int
+    nxl: int
+    k: int
+    rb: int
+
+    @classmethod
+    def build(cls, cfg: StepConfig, row_block: int = 2) -> "GridDims":
+        rb = row_block
+        ny_pad = -(-cfg.grid.ny // rb) * rb
+        nxl = -(-(cfg.grid.nx + 3) // 128) * 128
+        flat = (ny_pad + 2) * cfg.table_capacity * 8 * nxl
+        assert flat < 2**31, "grid too large for int32 flat indexing"
+        return cls(ny_pad=ny_pad, nxl=nxl, k=cfg.table_capacity, rb=rb)
+
+
+def bin_state(cfg: StepConfig, sim: SimState, row_block: int = 2) -> GridState:
+    """One-time conversion: flat agent arrays -> cell-resident grid.
+
+    Uses the flat path's sort+scatter (fine off the hot path)."""
+    dims = GridDims.build(cfg, row_block)
+    grid, k = cfg.grid, dims.k
+    a = sim.agents
+    cid = compute_cell_ids(a.pos, a.active, grid)
+    order = jnp.argsort(cid, stable=True)
+    packed = jnp.concatenate(
+        [
+            a.pos, a.vel, a.speed[:, None], a.dest.astype(jnp.float32)[:, None],
+            a.active.astype(jnp.float32)[:, None],
+            jnp.zeros((a.pos.shape[0], 1), jnp.float32),
+        ],
+        axis=1,
+    )
+    sp = jnp.take(packed, order, axis=0, mode="clip")
+    cid_s = jnp.take(cid, order, mode="clip")
+    layout = forcepass.build_layout(cid_s, sp[:, 6] > 0.5, grid, k)
+    flat = jnp.zeros(((grid.ny + 2) * (grid.nx + 2) * k + 1, 8), jnp.float32)
+    flat = flat.at[layout.slot].set(sp, mode="drop")
+    dg = flat[:-1].reshape(grid.ny + 2, grid.nx + 2, k, 8)
+    dk = jnp.transpose(dg, (0, 2, 3, 1))
+    dk = jnp.pad(dk, ((0, dims.ny_pad - grid.ny), (0, 0), (0, 0),
+                      (0, dims.nxl - (grid.nx + 2))))
+    # per-cell count into channel 7 (slot 0)
+    cnt = jnp.sum(dk[:, :, 6, :], axis=1)  # [ny_pad+2, NXL]
+    dk = dk.at[:, 0, 7, :].set(cnt)
+    return GridState(d=dk, key=sim.key, step=sim.step)
+
+
+def unbin_state(cfg: StepConfig, gs: GridState, row_block: int = 2) -> SimState:
+    """Grid -> flat agent arrays (for checkpoint / render / diagnostics).
+
+    Active agents compact to the front; truncates to cfg.capacity."""
+    dims = GridDims.build(cfg, row_block)
+    rows = jnp.transpose(gs.d, (0, 1, 3, 2)).reshape(-1, 8)  # [slots, 8]
+    act = rows[:, 6] > 0.5
+    order = jnp.argsort(~act, stable=True)[: cfg.capacity]
+    sel = jnp.take(rows, order, axis=0, mode="clip")
+    agents = AgentState(
+        pos=sel[:, 0:2],
+        vel=sel[:, 2:4],
+        speed=sel[:, 4],
+        dest=sel[:, 5].astype(jnp.int32),
+        active=sel[:, 6] > 0.5,
+    )
+    return SimState(agents=agents, key=gs.key, step=gs.step)
+
+
+def make_initial_grid_state(cfg: StepConfig, seed: int = 0,
+                            row_block: int = 2) -> GridState:
+    from .sfm import make_initial_state
+
+    return bin_state(cfg, make_initial_state(cfg, seed=seed), row_block)
+
+
+def spawn_scatter(cfg: StepConfig, d: jnp.ndarray, key: jnp.ndarray,
+                  row_lo: int | jnp.ndarray, n_rows: int):
+    """Scatter this step's spawn candidates into free grid slots.
+
+    ``d`` is a padded slab [n_rows+2, K, 8, NXL] holding cell rows
+    [row_lo, row_lo + n_rows); a candidate is claimed iff its cell row
+    falls in that window (under row-strip sharding every device runs the
+    same candidate stream and exactly one claims each in-field candidate).
+    Slot = per-cell count (channel 7, slot 0) + rank among same-cell
+    candidates; candidates beyond K are dropped and counted.
+    Returns (d, n_spawned_here, n_dropped_here).
+    """
+    grid = cfg.grid
+    k = cfg.table_capacity
+    n2, kk, ch, nxl = d.shape
+    assert kk == k and ch == 8 and n2 == n_rows + 2
+    flat_len = n2 * k * 8 * nxl
+    s = cfg.spawn.total
+    cand = _spawn_candidates(cfg, key)
+    cx = jnp.floor(cand.pos[:, 0] / grid.unit).astype(jnp.int32)
+    cy = jnp.floor(cand.pos[:, 1] / grid.unit).astype(jnp.int32)
+    ing = (cx >= 0) & (cx < grid.nx) & (cy >= 0) & (cy < grid.ny)
+    mine = (cy >= row_lo) & (cy < row_lo + n_rows)
+    ok0 = cand.active & ing & mine
+    n_spawned = jnp.sum(ok0).astype(jnp.int32)
+    ly = cy - row_lo  # local cell row
+    cell = jnp.where(ok0, ly * grid.nx + cx, n_rows * grid.nx)
+    order = jnp.argsort(cell, stable=True)
+    cell_s = jnp.take(cell, order, mode="clip")
+    idx = jnp.arange(s, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), cell_s[1:] != cell_s[:-1]]
+    )
+    rank = idx - jax.lax.cummax(jnp.where(is_start, idx, 0))
+    take = lambda a: jnp.take(a, order, mode="clip")  # noqa: E731
+    cx_s, ly_s, ok0_s = take(cx), take(ly), take(ok0)
+    cnt_flat = d[:, 0, 7, :].reshape(-1)
+    base_cnt = jnp.take(
+        cnt_flat, (ly_s + 1) * nxl + (cx_s + 1), mode="clip"
+    ).astype(jnp.int32)
+    slot_k = base_cnt + rank
+    ok = ok0_s & (slot_k < k)
+    n_drop = (n_spawned - jnp.sum(ok)).astype(jnp.int32)
+
+    base = ((ly_s + 1) * k + jnp.clip(slot_k, 0, k - 1)) * (8 * nxl) \
+        + (cx_s + 1)
+    tgt = jnp.where(ok, base, flat_len)
+    vals = [
+        take(cand.pos[:, 0]), take(cand.pos[:, 1]),
+        jnp.zeros((s,), jnp.float32), jnp.zeros((s,), jnp.float32),
+        take(cand.speed), take(cand.dest).astype(jnp.float32),
+        ok.astype(jnp.float32),
+    ]
+    df = jnp.concatenate([d.reshape(-1), jnp.zeros((1,), jnp.float32)])
+    for chn, v in enumerate(vals):
+        df = df.at[tgt + chn * nxl].set(v, mode="drop")
+    # count update: slot-0 channel 7
+    cnt_tgt = jnp.where(ok, ((ly_s + 1) * k) * (8 * nxl) + 7 * nxl
+                        + (cx_s + 1), flat_len)
+    df = df.at[cnt_tgt].add(1.0, mode="drop")
+    return df[:-1].reshape(d.shape), n_spawned, n_drop
+
+
+def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
+    """Build the grid-resident step:
+    (GridState, fwp, fobs) -> (GridState, StepMetrics)."""
+    if not supports(cfg):
+        raise ValueError(
+            "grid backend needs neighbor_grid_unit=1.5, field_unit=0.25 "
+            "and a small waypoint count (see sfm_pallas.supports)"
+        )
+    phys = cfg.physics
+    grid = cfg.grid
+    dims = GridDims.build(cfg, row_block)
+    k, rb, nxl, ny_pad = dims.k, dims.rb, dims.nxl, dims.ny_pad
+    nb = ny_pad // rb
+    interpret = jax.default_backend() != "tpu"
+    s = cfg.spawn.total
+
+    # Movement must stay under one cell per step for the 3x3 rebin window.
+    max_step = phys.max_speed_factor * (phys.speed_mean + 8 * phys.speed_std) \
+        * phys.delta_time
+    assert max_step < grid.unit, (max_step, grid.unit)
+
+    def _jmax(d: jnp.ndarray) -> jnp.ndarray:
+        """Per-block occupancy bound from the count channel: max occupied
+        slots of any cell in each block's (rb+2)-row window."""
+        rowmax = jnp.max(d[:, 0, 7, :], axis=-1)  # [ny_pad+2]
+        w = jnp.stack([rowmax[off::rb][:nb] for off in range(rb + 2)])
+        return jnp.minimum(jnp.max(w, axis=0), float(k)).astype(jnp.int32)
+
+    def step(state: GridState, fwp: jnp.ndarray, fobs: jnp.ndarray
+             ) -> tuple[GridState, StepMetrics]:
+        key, k_spawn = jax.random.split(state.key)
+        d = state.d
+        if s > 0:
+            d, n_spawned, n_spawn_drop = spawn_scatter(
+                cfg, d, k_spawn, row_lo=0, n_rows=ny_pad)
+        else:
+            n_spawned = jnp.int32(0)
+            n_spawn_drop = jnp.int32(0)
+
+        jmax = _jmax(d)
+        g = fused_step_kernel(d, fwp, fobs, phys, cfg.scenario.size,
+                              row_block=rb, interpret=interpret, jmax=jmax)
+        n_active = jnp.sum(g[:, :, 6, :]).astype(jnp.int32)
+
+        gp = jnp.pad(g, ((1, 1), (0, 0), (0, 0), (0, 0)))
+        d2 = rebin_kernel(gp, grid.unit, grid.nx, grid.ny, row_block=rb,
+                          interpret=interpret, jmax=jmax)
+        demand = d2[:, 0, 7, :]
+        n_overflow = jnp.sum(jnp.maximum(demand - k, 0.0)).astype(jnp.int32)
+        n_after = jnp.sum(d2[:, :, 6, :]).astype(jnp.int32)
+        d_new = jnp.pad(d2, ((1, 1), (0, 0), (0, 0), (0, 0)))
+        # clamp the stored count to what the cells actually hold
+        d_new = d_new.at[1:-1, 0, 7, :].set(jnp.minimum(demand, float(k)))
+
+        metrics = StepMetrics(
+            n_active=n_active,
+            n_spawned=n_spawned,
+            # out-of-field + cell-overflow losses, plus spawn drops
+            n_dropped=n_spawn_drop + (n_active - n_after) - n_overflow,
+            n_overflow=n_overflow,
+        )
+        return GridState(d=d_new, key=key, step=state.step + 1), metrics
+
+    return step

@@ -93,8 +93,11 @@ def make_step_pallas(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
         )
         sp = jnp.take(packed, order, axis=0, mode="clip")[:c]
         cid_sorted = jnp.take(cid, order, mode="clip")[:c]
-        act_s = sp[:, 6] > 0.5
-        n_alive_total = jnp.sum(active).astype(jnp.int32)
+        # Out-of-grid agents carry the sentinel cell id: deactivate them
+        # here (the kernel's in-grid despawn can't reach slotless agents) —
+        # neighbor_grid.rs:29 drop semantics.
+        act_s = cid_sorted < grid.n_cells
+        n_alive_total = jnp.sum(cid < grid.n_cells).astype(jnp.int32)
         n_kept = jnp.sum(act_s).astype(jnp.int32)
         n_dropped = n_alive_total - n_kept
 

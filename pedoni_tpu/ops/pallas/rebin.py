@@ -49,20 +49,21 @@ def _shift_lane(arr, delta: int):
     return pltpu.roll(arr, shift=(-delta) % arr.shape[-1], axis=arr.ndim - 1)
 
 
-def _kernel(jmax_ref, g_hbm, out_ref, window, sem, *, rb: int, k: int,
-            unit: float, nx_cells: int, ny_cells: int):
+def _kernel(jmax_ref, roff_ref, g_hbm, out_ref, window, sem, *, rb: int,
+            k: int, unit: float, nx_cells: int, ny_cells: int):
     i = pl.program_id(0)
     cp = pltpu.make_async_copy(g_hbm.at[pl.ds(i * rb, rb + 2)], window, sem)
     cp.start()
     cp.wait()
 
     nxl = window.shape[-1]
-    # Output cell at lane l is cell x = l - 1; center row w is cell row
-    # i*rb + w.
-    lane = jax.lax.broadcasted_iota(jnp.float32, (1, 1, nxl), 2)
-    row_f = (jax.lax.broadcasted_iota(jnp.float32, (rb, 1, 1), 0)
-             + jnp.float32(i * rb))
-    k_iota = jax.lax.broadcasted_iota(jnp.float32, (1, k, 1), 1)
+    # Output cell at lane l is cell x = l - 1; center row w is GLOBAL cell
+    # row row_offset + i*rb + w (positions are global coordinates even
+    # when g is a per-device slab under row-strip sharding).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nxl), 2).astype(jnp.float32)
+    row_f = (jax.lax.broadcasted_iota(jnp.int32, (rb, 1, 1), 0).astype(jnp.float32)
+             + (i * rb + roff_ref[0]).astype(jnp.float32))
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1).astype(jnp.float32)
 
     cnt = jnp.zeros((rb, 1, nxl), jnp.float32)
     outs = tuple(jnp.zeros((rb, k, nxl), jnp.float32) for _ in range(7))
@@ -79,21 +80,25 @@ def _kernel(jmax_ref, g_hbm, out_ref, window, sem, *, rb: int, k: int,
             tgt_lane = jnp.floor(ch[0] / unit) + 1.0
             tgt_row = jnp.floor(ch[1] / unit)
             # Off-field agents (ghost column / pad rows) vanish like the
-            # reference's out-of-grid drop (neighbor_grid.rs:29).
-            lands_row = (
+            # reference's out-of-grid drop (neighbor_grid.rs:29).  The mask
+            # rides as f32 — Mosaic cannot lane-rotate i1 vectors.
+            lands_row = jnp.where(
                 act
                 & (tgt_row == row_f)
                 & (tgt_row <= jnp.float32(ny_cells - 1))
                 & (tgt_lane >= 1.0)
-                & (tgt_lane <= jnp.float32(nx_cells))
+                & (tgt_lane <= jnp.float32(nx_cells)),
+                1.0, 0.0,
             )
             for dxo in (-1, 0, 1):
                 sh = [_shift_lane(c, dxo) for c in ch]
-                lands = (_shift_lane(lands_row, dxo)
-                         & (_shift_lane(tgt_lane, dxo) == lane))
-                onehot = jnp.where((k_iota == cnt) & lands, 1.0, 0.0)
+                lands = jnp.where(
+                    _shift_lane(tgt_lane, dxo) == lane,
+                    _shift_lane(lands_row, dxo), 0.0,
+                )
+                onehot = jnp.where(k_iota == cnt, lands, 0.0)
                 outs = [o + onehot * s for o, s in zip(outs, sh)]
-                cnt = cnt + jnp.where(lands, 1.0, 0.0)
+                cnt = cnt + lands
             return (cnt, *outs)
 
         cnt, *outs = jax.lax.fori_loop(0, jmax, body, (cnt, *outs))
@@ -106,7 +111,8 @@ def _kernel(jmax_ref, g_hbm, out_ref, window, sem, *, rb: int, k: int,
 def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
                  ny_cells: int | None = None, row_block: int = 4,
                  interpret: bool = False,
-                 jmax: jnp.ndarray | None = None) -> jnp.ndarray:
+                 jmax: jnp.ndarray | None = None,
+                 row_offset: jnp.ndarray | None = None) -> jnp.ndarray:
     """Rebin the post-step grid ``g`` into fresh compacted cell bins.
 
     g    [ny_pad+2, K, 8, NXL]  (NXL % 128 == 0, ny_pad % row_block == 0;
@@ -116,6 +122,8 @@ def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
     vanish); ny_cells defaults to ny_pad.
     jmax [nb] i32: per-block occupancy bound (max occupied slots of any
     cell in the block's 3-row window); None means K.
+    row_offset [1] i32: global cell row of g's first real row (row-strip
+    sharding); None means 0.
     Returns D' [ny_pad, K, 8, NXL] with channel 7 = per-cell count.
     """
     ny2, k, ch, nxl = g.shape
@@ -128,6 +136,8 @@ def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
         ny_cells = ny_pad
     if jmax is None:
         jmax = jnp.full((nb,), k, jnp.int32)
+    if row_offset is None:
+        row_offset = jnp.zeros((1,), jnp.int32)
 
     kernel = functools.partial(_kernel, rb=rb, k=k, unit=unit,
                                nx_cells=nx_cells, ny_cells=ny_cells)
@@ -135,6 +145,7 @@ def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
         kernel,
         grid=(nb,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -147,4 +158,4 @@ def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(jmax, g)
+    )(jmax, row_offset, g)

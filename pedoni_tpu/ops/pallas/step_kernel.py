@@ -78,9 +78,9 @@ def _sample_row(fwin, base_row: int, q0, p0, tx, ty):
     return out
 
 
-def _kernel(jmax_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref, window, fwp, fobs,
-            act_scr, sems, *, rb: int, k: int, n_wp: int, phys: Physics,
-            grid_w: float, grid_h: float):
+def _kernel(jmax_ref, roff_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref, window,
+            fwp, fobs, act_scr, sems, *, rb: int, k: int, n_wp: int,
+            phys: Physics, grid_w: float, grid_h: float):
     i = pl.program_id(0)
 
     cp = pltpu.make_async_copy(d_hbm.at[pl.ds(i * rb, rb + 2)], window, sems.at[0])
@@ -100,7 +100,10 @@ def _kernel(jmax_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref, window, fwp, fobs,
 
     nxl = window.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, nxl), 1).astype(jnp.float32)
-    r0 = (i * rb).astype(jnp.float32)
+    # Global cell row of this block's first center row: the row offset is
+    # nonzero under row-strip sharding (parallel/grid_shard.py), where
+    # positions stay in global coordinates but blocks index a local slab.
+    r0 = (i * rb + roff_ref[0]).astype(jnp.float32)
 
     # --- per-window-row sampling, despawn, goal/obstacle accelerations ---
     exs, eys, acts, accfx, accfy, pots = [], [], [], [], [], []
@@ -232,7 +235,8 @@ def _kernel(jmax_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref, window, fwp, fobs,
 def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
                       phys: Physics, grid_size: tuple[float, float],
                       row_block: int = 4, interpret: bool = False,
-                      jmax: jnp.ndarray | None = None) -> jnp.ndarray:
+                      jmax: jnp.ndarray | None = None,
+                      row_offset: jnp.ndarray | None = None) -> jnp.ndarray:
     """Run the fused sample+forces+integrate kernel.
 
     d    [ny_pad+2, K, 8, NXL]  (NXL % 128 == 0, ny_pad % row_block == 0)
@@ -241,6 +245,9 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
     grid_size: world (width, height) in meters for the out-of-grid despawn.
     jmax [nb] i32: per-block occupancy bound (max agents in any cell of the
     block's 3-row window); None disables the optimization (bound = K).
+    row_offset [1] i32: global cell row of d's first real row — nonzero
+    under row-strip sharding, where ``d``/``fwp``/``fobs`` are per-device
+    slabs but agent positions stay in global coordinates.
     Returns OUT [ny_pad, K, 8, NXL].
     """
     ny2, k, ch, nxl = d.shape
@@ -256,6 +263,8 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
 
     if jmax is None:
         jmax = jnp.full((nb,), k, jnp.int32)
+    if row_offset is None:
+        row_offset = jnp.zeros((1,), jnp.int32)
 
     kernel = functools.partial(
         _kernel, rb=rb, k=k, n_wp=n_wp, phys=phys,
@@ -265,6 +274,7 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
         kernel,
         grid=(nb,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -285,4 +295,4 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(jmax, d, fwp, fobs)
+    )(jmax, row_offset, d, fwp, fobs)

@@ -201,12 +201,35 @@ def make_sharded_step(scfg: ShardedConfig, maps: FieldMaps, mesh: Mesh):
         rows = _pack(pos, vel, speed, dest, alive, e, fs.obs_dist, fs.obs_grad)
 
         # 3. exchange: halo agents + emigrants, both directions, one packed
-        # ppermute per direction.
+        # ppermute per direction.  Emigrants (agents that crossed the strip
+        # boundary) pack FIRST; halo ghosts fill what's left.  If the
+        # package saturates, unsent emigrants stay alive locally and retry
+        # next step (the local window's margin still gives them forces) —
+        # agents are never silently destroyed; the shortfall is reported
+        # in n_overflow.
         x = pos[:, 0]
-        send_left = alive & (x < x_lo + scfg.halo)
-        send_right = alive & (x >= x_hi - scfg.halo)
-        pkg_l, _ = _compact_rows(send_left, pk, rows)
-        pkg_r, _ = _compact_rows(send_right, pk, rows)
+        stays = (x >= x_lo) & (x < claim_hi)
+        emig_l = alive & ~stays & (x < x_lo)
+        emig_r = alive & ~stays & (x >= x_lo)
+        ghost_l = alive & stays & (x < x_lo + scfg.halo)
+        ghost_r = alive & stays & (x >= x_hi - scfg.halo)
+
+        def pack_priority(emig, ghost):
+            """Compact emigrants first, then ghosts, into [pk] rows.
+            Returns (package, shipped_emigrant_mask, n_ghost_lost)."""
+            n_emig = jnp.sum(emig.astype(jnp.int32))
+            dst_e = jnp.cumsum(emig.astype(jnp.int32)) - 1
+            dst_g = n_emig + jnp.cumsum(ghost.astype(jnp.int32)) - 1
+            dst = jnp.where(emig, dst_e, jnp.where(ghost, dst_g, pk))
+            dst = jnp.where(dst < pk, dst, pk)
+            out = jnp.zeros((pk + 1, rows.shape[1]), rows.dtype)
+            out = out.at[dst].set(rows, mode="drop")[:pk]
+            shipped = emig & (dst_e < pk)
+            n_ghost_lost = jnp.sum(ghost & (dst_g >= pk)).astype(jnp.int32)
+            return out, shipped, n_ghost_lost
+
+        pkg_l, shipped_l, lost_gl = pack_priority(emig_l, ghost_l)
+        pkg_r, shipped_r, lost_gr = pack_priority(emig_r, ghost_r)
 
         right_perm = [(i, i + 1) for i in range(d_count - 1)]
         left_perm = [(i, i - 1) for i in range(1, d_count)]
@@ -219,9 +242,11 @@ def make_sharded_step(scfg: ShardedConfig, maps: FieldMaps, mesh: Mesh):
         recv_l = pperm(pkg_r, right_perm)  # from my left neighbor
         recv_r = pperm(pkg_l, left_perm)  # from my right neighbor
 
-        # Emigrants were shipped; deactivate the local copy.
-        stays = (x >= x_lo) & (x < claim_hi)
-        rows = rows.at[:, 6].set((alive & stays).astype(jnp.float32))
+        # Deactivate only the emigrants that actually shipped.
+        n_deferred = (jnp.sum(emig_l & ~shipped_l)
+                      + jnp.sum(emig_r & ~shipped_r)).astype(jnp.int32)
+        keep_local = alive & (stays | ~(shipped_l | shipped_r))
+        rows = rows.at[:, 6].set(keep_local.astype(jnp.float32))
 
         def owned_mask(recv):
             rx = recv[:, 0]
@@ -278,7 +303,11 @@ def make_sharded_step(scfg: ShardedConfig, maps: FieldMaps, mesh: Mesh):
             n_active=jax.lax.psum(n_active, AXIS),
             n_spawned=jax.lax.psum(n_spawned, AXIS),
             n_dropped=jax.lax.psum(n_lost, AXIS),
-            n_overflow=jax.lax.psum(layout.n_overflow, AXIS),
+            # package saturation: deferred emigrants (alive, retrying) and
+            # truncated ghosts (missing halo forces this step) — visible,
+            # never silent.
+            n_overflow=jax.lax.psum(
+                layout.n_overflow + n_deferred + lost_gl + lost_gr, AXIS),
         )
         return agents_out, key, step_idx + 1, metrics
 

@@ -147,6 +147,7 @@ class KeyPoller:
     def __init__(self) -> None:
         self._enabled = False
         try:
+            import atexit
             import termios
             import tty
 
@@ -155,6 +156,10 @@ class KeyPoller:
                 self._old = termios.tcgetattr(self._fd)
                 tty.setcbreak(self._fd)
                 self._enabled = True
+                # __del__ is not guaranteed to run (exceptions, interpreter
+                # teardown ordering) — atexit makes sure the user never gets
+                # a cbreak/no-echo terminal back.
+                atexit.register(self.restore)
         except Exception:
             pass
 
@@ -168,11 +173,16 @@ class KeyPoller:
             out.append(sys.stdin.read(1))
         return out
 
-    def __del__(self) -> None:
+    def restore(self) -> None:
+        """Put the tty back; idempotent, safe to call from finally blocks."""
         if self._enabled:
+            self._enabled = False
             try:
                 import termios
 
                 termios.tcsetattr(self._fd, termios.TCSADRAIN, self._old)
             except Exception:
                 pass
+
+    def __del__(self) -> None:
+        self.restore()

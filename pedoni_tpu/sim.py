@@ -40,7 +40,9 @@ log = logging.getLogger(__name__)
 class SimulatorOptions:
     """Counterpart of lib.rs:109-135 with the same defaults."""
 
-    backend: str = "xla"  # "xla" | "pallas" (force-pass implementation)
+    backend: str = "xla"  # "xla" | "pallas" (flat fused kernel) | "grid"
+    #                        ("grid" = cell-resident two-kernel step, the
+    #                        fast path; see models/sfm_grid.py)
     neighbor_grid_unit: float = 1.4
     field_grid_unit: float = 0.25
     use_neighbor_grid: bool = True
@@ -50,11 +52,12 @@ class SimulatorOptions:
     capacity: int = 0  # 0 = auto-size from the scenario
     seed: int = 0
     physics: Physics = Physics()
+    n_devices: int = 1  # >1 = row-strip sharding (grid backend only)
 
 
 class Simulator:
     def __init__(self, options: SimulatorOptions, scenario: Scenario) -> None:
-        if options.backend == "pallas" and options.neighbor_grid_unit == 1.4:
+        if options.backend in ("pallas", "grid") and options.neighbor_grid_unit == 1.4:
             # The fused kernel's stride-6 field layout needs 1.5 m cells;
             # auto-switch when the unit was left at the reference default.
             options = dataclasses.replace(options, neighbor_grid_unit=1.5)
@@ -70,9 +73,12 @@ class Simulator:
             *self.field.shape, len(scenario.waypoints), t_field.elapsed,
         )
 
+        if options.n_devices > 1 and options.backend != "grid":
+            raise ValueError("--devices > 1 requires the grid backend")
         capacity = options.capacity or self._auto_capacity(scenario)
         self._build(capacity)
-        self.state: SimState = make_initial_state(self.cfg, seed=options.seed)
+        self.state = self._from_flat_state(
+            make_initial_state(self.cfg, seed=options.seed))
         self.step_count = 0
 
     @staticmethod
@@ -87,6 +93,8 @@ class Simulator:
 
     def _build(self, capacity: int) -> None:
         o = self.options
+        self._mesh = None
+        self._scfg = None
         self.cfg = StepConfig.build(
             self.scenario,
             physics=o.physics,
@@ -98,19 +106,48 @@ class Simulator:
             use_neighbor_grid=o.use_neighbor_grid,
             use_distance_map=o.use_distance_map,
         )
-        if o.backend == "pallas":
-            from .models import sfm_pallas
+        if o.backend in ("pallas", "grid"):
+            from .models import sfm_grid, sfm_pallas
 
             if not sfm_pallas.supports(self.cfg):
                 raise ValueError(
-                    "pallas backend requires neighbor_grid_unit=1.5, "
+                    f"{o.backend} backend requires neighbor_grid_unit=1.5, "
                     "field_grid_unit=0.25 and <= 8 waypoints; "
                     "use backend='xla' for this scenario"
                 )
-            fwp, fobs = sfm_pallas.pallas_device_inputs(self.cfg, self.maps)
-            self._field_rows = fwp  # first step arg
-            self._obstacles = fobs  # second step arg
-            self._step = jax.jit(sfm_pallas.make_step_pallas(self.cfg, self.maps))
+            if o.backend == "grid" and o.n_devices > 1:
+                import numpy as _np
+                from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+                from .parallel import grid_shard
+
+                devices = jax.devices()
+                if len(devices) < o.n_devices:
+                    raise ValueError(
+                        f"--devices {o.n_devices} but only {len(devices)} "
+                        "devices are visible"
+                    )
+                self._mesh = Mesh(_np.array(devices[: o.n_devices]),
+                                  (grid_shard.AXIS,))
+                self._scfg = grid_shard.GridShardConfig.build(
+                    self.cfg, o.n_devices)
+                wp, obs = grid_shard.shard_device_inputs(self._scfg, self.maps)
+                sh = NamedSharding(self._mesh, PartitionSpec(grid_shard.AXIS))
+                import jax.numpy as jnp
+
+                self._field_rows = jax.device_put(jnp.asarray(wp), sh)
+                self._obstacles = jax.device_put(jnp.asarray(obs), sh)
+                self._step = jax.jit(
+                    grid_shard.make_sharded_step(self._scfg, self._mesh))
+            else:
+                self._mesh = None
+                self._scfg = None
+                fwp, fobs = sfm_pallas.pallas_device_inputs(self.cfg, self.maps)
+                self._field_rows = fwp  # first step arg
+                self._obstacles = fobs  # second step arg
+                make = (sfm_grid.make_step_grid if o.backend == "grid"
+                        else sfm_pallas.make_step_pallas)
+                self._step = jax.jit(make(self.cfg, self.maps))
         else:
             field, obstacles = device_inputs(self.cfg, self.maps)
             self._field_rows = field.rows
@@ -145,7 +182,10 @@ class Simulator:
         n_dropped = int(metrics.n_dropped)
         if n_dropped > 0:
             log.warning("step %d: %d agents dropped at capacity", self.step_count, n_dropped)
-        if n_active > 0.8 * self.cfg.capacity:
+        if self.options.backend == "grid":
+            if int(metrics.n_overflow) > 0:
+                self._grow_table(int(metrics.n_overflow))
+        elif n_active > 0.8 * self.cfg.capacity:
             self._grow()
 
         return StepRecord(
@@ -176,16 +216,63 @@ class Simulator:
             time_calc_state=t.elapsed / max(n_steps, 1),
         )
 
+    def _grow_table(self, n_lost: int) -> None:
+        """Grid backend: a cell overflowed its K slots — grow K and re-bin
+        (the dropped agents from the overflowing step are already counted;
+        growth prevents further losses, mirroring the flat capacity
+        growth)."""
+        old_k = self.options.table_capacity
+        flat = self._to_flat_state()
+        self.options = dataclasses.replace(
+            self.options, table_capacity=old_k + max(4, old_k // 2)
+        )
+        log.warning(
+            "step %d: %d agents dropped from full cells; growing "
+            "table_capacity %d -> %d",
+            self.step_count, n_lost, old_k, self.options.table_capacity,
+        )
+        self._build(self.cfg.capacity)
+        self.state = self._from_flat_state(flat)
+
+    def _to_flat_state(self):
+        """The state as flat agent arrays (SimState) regardless of backend
+        or device count — the checkpoint/render/diagnostic exchange
+        format."""
+        if self.options.backend == "grid":
+            from .models import sfm_grid
+            from .parallel import grid_shard
+
+            if self._scfg is not None:
+                return grid_shard.unbin_sharded(self._scfg, self.state)
+            return sfm_grid.unbin_state(self.cfg, self.state)
+        return self.state
+
+    def _from_flat_state(self, state):
+        """Inverse of :meth:`_to_flat_state` for the current backend —
+        checkpoints restore across backends AND device counts."""
+        if self.options.backend == "grid":
+            from .models import sfm_grid
+            from .parallel import grid_shard
+
+            if self._scfg is not None:
+                return grid_shard.make_sharded_grid_state(
+                    self._scfg, self._mesh, state)
+            return sfm_grid.bin_state(self.cfg, state)
+        return state
+
+    def _flat_agents(self):
+        return self._to_flat_state().agents
+
     def list_pedestrians(self) -> tuple[np.ndarray, np.ndarray]:
         """Positions [n, 2] and destinations [n] of active agents
         (models/mod.rs:29-32 exchange struct analog)."""
-        a = self.state.agents
+        a = self._flat_agents()
         active = np.asarray(a.active)
         return np.asarray(a.pos)[active], np.asarray(a.dest)[active]
 
     @property
     def pedestrian_count(self) -> int:
-        return int(np.asarray(self.state.agents.active).sum())
+        return int(np.asarray(self._flat_agents().active).sum())
 
     def new_log(self, scenario_name: str = "") -> DiagnosticLog:
         lg = DiagnosticLog(model=f"sfm-tpu/{self.options.backend}", scenario=scenario_name)

@@ -34,6 +34,13 @@ if not _NEED_REEXEC:
     assert jax.default_backend() == "cpu", "tests must run on the cpu backend"
     assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
 
+    # Interpret-mode Pallas kernels compile slowly on CPU (minutes); the
+    # persistent cache makes re-runs and shape-sharing tests near-instant.
+    jax.config.update("jax_compilation_cache_dir",
+                      str(pathlib.Path(__file__).parents[1] / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def pytest_cmdline_main(config):
     if not _NEED_REEXEC:

@@ -31,6 +31,12 @@ def test_pedestrian_model_trait():
     field = Field.from_scenario(scenario, unit=0.25)
     model = SocialForceModel(SimulatorOptions(), scenario, field,
                              capacity=256, seed=0)
+    # The trait ctor spawns nothing (models/mod.rs:13-25); the Simulator
+    # pushes once-group agents through spawn_pedestrians (lib.rs:37-52).
+    assert model.get_pedestrian_count() == 0
+    model.spawn_pedestrians(field, [
+        Pedestrian(pos=(2.0, 2.0 + i), destination=1) for i in range(10)
+    ])
     assert model.get_pedestrian_count() == 10
     model.spawn_pedestrians(field, [Pedestrian(pos=(8.0, 8.0), destination=1)])
     # New agent visible after the next state update.

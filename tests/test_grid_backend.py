@@ -1,0 +1,155 @@
+"""Grid-resident backend (models/sfm_grid.py) vs the flat pallas backend.
+
+Both backends run the same physics (the same fused step kernel); the grid
+backend replaces the per-step XLA sort/scatter/gather with the in-kernel
+rebin.  From the same initial state and PRNG key they must produce the
+same set of agents (slot order differs; float summation order gives tiny
+numeric drift) step after step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pedoni_tpu.field import Field, FieldMaps
+from pedoni_tpu.models import sfm_grid, sfm_pallas
+from pedoni_tpu.models.sfm import AgentState, SimState, StepConfig
+from pedoni_tpu.scenario import loads_scenario
+
+SCENARIO = """
+[field]
+size = [18, 12]
+[[waypoints]]
+line = [[2, 2], [2, 10]]
+[[waypoints]]
+line = [[16, 2], [16, 10]]
+[[obstacles]]
+line = [[9, 0], [9, 5]]
+width = 1
+"""
+
+SPAWN_SCENARIO = SCENARIO + """
+[[pedestrians]]
+origin = 0
+destination = 1
+spawn = { kind = "periodic", frequency = 8.0 }
+[[pedestrians]]
+origin = 1
+destination = 0
+spawn = { kind = "periodic", frequency = 6.0 }
+"""
+
+
+def _setup(src, n=160, seed=3, k=10):
+    sc = loads_scenario(src)
+    field = Field.from_scenario(sc, unit=0.25)
+    maps = FieldMaps.from_field(field)
+    cfg = StepConfig.build(sc, capacity=512, neighbor_grid_unit=1.5,
+                           table_capacity=k)
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(0.8, np.array(sc.size) - 0.8, (512, 2)).astype(np.float32)
+    vel = rng.normal(0, 0.3, (512, 2)).astype(np.float32)
+    speed = np.clip(rng.normal(1.34, 0.26, 512), 0.3, None).astype(np.float32)
+    dest = rng.integers(0, 2, 512).astype(np.int32)
+    active = np.zeros(512, bool)
+    active[:n] = True
+    agents = AgentState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                        speed=jnp.asarray(speed), dest=jnp.asarray(dest),
+                        active=jnp.asarray(active))
+    state = SimState(agents=agents, key=jax.random.PRNGKey(7),
+                     step=jnp.int32(0))
+    return sc, maps, cfg, state
+
+
+def _active_set(agents: AgentState):
+    act = np.asarray(agents.active)
+    rows = np.concatenate(
+        [np.asarray(agents.pos), np.asarray(agents.vel),
+         np.asarray(agents.speed)[:, None],
+         np.asarray(agents.dest)[:, None].astype(np.float32)], axis=1)[act]
+    return rows[np.lexsort((rows[:, 1], rows[:, 0]))]
+
+
+def _run_both(src, n_steps, n=160):
+    sc, maps, cfg, state0 = _setup(src, n=n)
+    fwp, fobs = sfm_pallas.pallas_device_inputs(cfg, maps)
+    fwp, fobs = jnp.asarray(fwp), jnp.asarray(fobs)
+
+    step_flat = jax.jit(sfm_pallas.make_step_pallas(cfg, maps))
+    sf = state0
+    for _ in range(n_steps):
+        sf, mf = step_flat(sf, fwp, fobs)
+
+    step_grid = jax.jit(sfm_grid.make_step_grid(cfg, maps))
+    sg = sfm_grid.bin_state(cfg, state0)
+    for _ in range(n_steps):
+        sg, mg = step_grid(sg, fwp, fobs)
+    flat_from_grid = sfm_grid.unbin_state(cfg, sg)
+    return sf, mf, flat_from_grid, mg
+
+
+def test_grid_matches_flat_pallas_multistep():
+    sf, mf, sg_flat, mg = _run_both(SCENARIO, n_steps=5)
+    assert int(mg.n_overflow) == 0
+    assert int(mg.n_active) == int(mf.n_active)
+    a = _active_set(sf.agents)
+    b = _active_set(sg_flat.agents)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+
+
+def test_grid_spawn_matches_flat():
+    """Periodic spawns inject the same agents into both backends (same
+    PRNG stream) and they participate in forces the same tick."""
+    sf, mf, sg_flat, mg = _run_both(SPAWN_SCENARIO, n_steps=6, n=40)
+    assert int(mg.n_spawned) == int(mf.n_spawned)
+    assert int(mg.n_active) == int(mf.n_active)
+    a = _active_set(sf.agents)
+    b = _active_set(sg_flat.agents)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+
+
+def test_bin_unbin_roundtrip():
+    _, _, cfg, state = _setup(SCENARIO)
+    back = sfm_grid.unbin_state(cfg, sfm_grid.bin_state(cfg, state))
+    a = _active_set(state.agents)
+    b = _active_set(back.agents)
+    np.testing.assert_allclose(b, a, rtol=0, atol=0)
+
+
+def test_grid_overflow_reported():
+    """A cell receiving more than K agents in one step drops the excess
+    and reports it in n_overflow (the flat path freezes instead; the grid
+    path must never lose agents silently)."""
+    sc = loads_scenario(SCENARIO)
+    field = Field.from_scenario(sc, unit=0.25)
+    maps = FieldMaps.from_field(field)
+    cfg = StepConfig.build(sc, capacity=64, neighbor_grid_unit=1.5,
+                           table_capacity=3)
+    # 3 agents at the right edge of cell (0,1) moving right at 1 m/s cross
+    # into cell (0,2), which already holds 3 agents: 6 into K=3.
+    pos = np.zeros((64, 2), np.float32)
+    vel = np.zeros((64, 2), np.float32)
+    ys = [0.25, 0.75, 1.25]
+    for i, y in enumerate(ys):
+        pos[i] = (2.93, y)       # cell (0, 1): x in [1.5, 3)
+        pos[3 + i] = (3.8, y)    # cell (0, 2): x in [3, 4.5)
+        vel[i] = vel[3 + i] = (1.0, 0.0)
+    agents = AgentState(
+        pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+        speed=jnp.full((64,), 1.34, jnp.float32),
+        dest=jnp.ones((64,), jnp.int32),  # waypoint at x=16: keep walking
+        active=jnp.asarray(np.arange(64) < 6),
+    )
+    state = sfm_grid.bin_state(
+        cfg, SimState(agents=agents, key=jax.random.PRNGKey(0),
+                      step=jnp.int32(0)))
+    assert float(jnp.sum(state.d[:, :, 6, :])) == 6.0
+    fwp, fobs = map(jnp.asarray, sfm_pallas.pallas_device_inputs(cfg, maps))
+    step = jax.jit(sfm_grid.make_step_grid(cfg, maps))
+    state2, m = step(state, fwp, fobs)
+    assert int(m.n_active) == 6          # all alive at force time
+    assert int(m.n_overflow) == 3        # 6 landed in a K=3 cell
+    assert float(jnp.sum(state2.d[:, :, 6, :])) == 3.0
+    assert int(m.n_dropped) == 0         # nobody left the field

@@ -145,5 +145,68 @@ def test_migration_across_strips(setup):
             assert (xs >= lo).all() and (xs < hi).all()
 
 
+def test_package_saturation_defers_not_destroys():
+    """More boundary-crossers than package slots: the shortfall is visible
+    in n_overflow and NO agent is lost — unsent emigrants stay active
+    locally and migrate on later steps (the round-1 silent-destruction
+    bug's regression test)."""
+    scenario = loads_scenario("""
+[field]
+size = [32, 16]
+[[waypoints]]
+line = [[2, 2], [2, 14]]
+[[waypoints]]
+line = [[30, 2], [30, 14]]
+""")
+    maps = FieldMaps.from_field(Field.from_scenario(scenario, unit=0.25))
+    cfg = StepConfig.build(scenario, capacity=256, table_capacity=12)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    scfg = ShardedConfig.build(cfg, 8, package_capacity=2)
+    step = jax.jit(make_sharded_step(scfg, maps, mesh))
+
+    # 8 agents in strip 0 right at the x=4 boundary, all walking right.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import jax.numpy as jnp
+
+    from pedoni_tpu.models.sfm import AgentState, SimState
+
+    n, cl = 8, scfg.local_capacity
+    pos = np.zeros((256, 2), np.float32)
+    vel = np.zeros((256, 2), np.float32)
+    for i in range(n):
+        pos[i] = (3.9, 2.0 + 1.5 * i)
+        vel[i] = (1.0, 0.0)
+    agents = AgentState(
+        pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+        speed=jnp.full((256,), 1.34, jnp.float32),
+        dest=jnp.ones((256,), jnp.int32),
+        active=jnp.asarray(np.arange(256) < n),
+    )
+    sh = NamedSharding(mesh, P("x"))
+    rep = NamedSharding(mesh, P())
+    state = SimState(
+        agents=AgentState(*(jax.device_put(a, sh) for a in agents)),
+        key=jax.device_put(jax.random.PRNGKey(0), rep),
+        step=jax.device_put(jnp.int32(0), rep),
+    )
+    dfield, obstacles = device_inputs(cfg, maps)
+
+    saw_saturation = False
+    for _ in range(10):
+        state, metrics = step(state, dfield.rows, obstacles)
+        jax.block_until_ready(state)
+        assert int(metrics.n_active) == n  # nobody destroyed, ever
+        if int(metrics.n_overflow) > 0:
+            saw_saturation = True
+    assert saw_saturation, "expected the 2-slot package to saturate"
+    # All 8 eventually migrated into strip 1+ despite the tiny package.
+    active = np.asarray(state.agents.active)
+    xs = np.asarray(state.agents.pos)[active][:, 0]
+    assert active.sum() == n
+    assert (xs >= 4.0).all()
+    assert not active[:cl].any(), "agents should have left shard 0"
+
+
 def test_dryrun_entrypoint():
     dryrun(4)
