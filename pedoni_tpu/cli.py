@@ -137,11 +137,20 @@ def run_headless(args: argparse.Namespace) -> Path:
 
     renderer = None
     keys = None
+    stream = None
     if args.render:
-        from .renderer import KeyPoller, TerminalRenderer
+        from .renderer import KeyPoller, SnapshotStream, TerminalRenderer
 
         renderer = TerminalRenderer(sim.scenario)
         keys = KeyPoller()  # SPACE toggles pause (renderer/mod.rs:121-136)
+        # Render on a separate thread from the sim loop (the reference's
+        # sim-thread / render-thread split, main.rs:20-26, 94-96): the
+        # device pipeline is never stalled by a frame fetch.
+        stream = SnapshotStream(
+            fetch=sim.list_pedestrians,
+            on_frame=lambda pos, dest: renderer.draw(pos, dest,
+                                                     sim.step_count),
+        ).start()
 
     dt = sim.options.physics.delta_time
     min_interval = dt / args.speed if args.speed > 0 else 0.0
@@ -156,6 +165,8 @@ def run_headless(args: argparse.Namespace) -> Path:
         _headless_loop(args, sim, diag, interrupted, renderer, keys,
                        min_interval, paused)
     finally:
+        if stream is not None:
+            stream.stop()
         if keys is not None:
             keys.restore()  # never leave the tty in cbreak/no-echo
 
@@ -182,6 +193,8 @@ def _headless_loop(args, sim, diag, interrupted, renderer, keys,
                     paused = not paused
                 elif ch in ("q", "Q"):
                     interrupted.append(True)
+                elif renderer is not None:
+                    renderer.handle_key(ch)  # camera pan/zoom
         if paused:
             time.sleep(0.05)
             continue
@@ -190,9 +203,6 @@ def _headless_loop(args, sim, diag, interrupted, renderer, keys,
         if sim.step_count % 100 == 0:
             log.info("Step: %6d, Active pedestrians: %6d",
                      sim.step_count, rec.active_ped_count)
-        if renderer is not None:
-            pos, dest = sim.list_pedestrians()
-            renderer.draw(pos, dest, sim.step_count)
         if args.record_every and sim.step_count % args.record_every == 0:
             import numpy as np
 

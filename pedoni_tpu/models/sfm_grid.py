@@ -191,11 +191,14 @@ def spawn_scatter(cfg: StepConfig, d: jnp.ndarray, key: jnp.ndarray,
 def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
     """Build the grid-resident step:
     (GridState, fwp, fobs) -> (GridState, StepMetrics)."""
-    if not supports(cfg):
+    if not supports(cfg, row_block):
         raise ValueError(
-            "grid backend needs neighbor_grid_unit=1.5, field_unit=0.25 "
-            "and a small waypoint count (see sfm_pallas.supports)"
+            "grid backend needs an integral neighbor/field unit ratio and "
+            "waypoint planes fitting VMEM (see sfm_pallas.supports)"
         )
+    from .sfm_pallas import stride_for
+
+    stride = stride_for(cfg)
     phys = cfg.physics
     grid = cfg.grid
     dims = GridDims.build(cfg, row_block)
@@ -229,7 +232,8 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
 
         jmax = _jmax(d)
         g = fused_step_kernel(d, fwp, fobs, phys, cfg.scenario.size,
-                              row_block=rb, interpret=interpret, jmax=jmax)
+                              row_block=rb, interpret=interpret, jmax=jmax,
+                              stride=stride, field_unit=cfg.field_unit)
         n_active = jnp.sum(g[:, :, 6, :]).astype(jnp.int32)
 
         gp = jnp.pad(g, ((1, 1), (0, 0), (0, 0), (0, 0)))

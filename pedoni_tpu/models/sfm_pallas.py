@@ -2,9 +2,11 @@
 
 Same step contract as models/sfm.make_step but with sampling, despawn,
 all forces and integration fused into one Pallas kernel
-(ops/pallas/step_kernel.py).  Requires neighbor_grid_unit == 1.5 m and
-field_unit == 0.25 m (the stride-6 field layout) and a small number of
-waypoints (the kernel samples every plane and selects by destination).
+(ops/pallas/step_kernel.py).  Requires an integral neighbor/field unit
+ratio (the stride-S plane layout; production pairing 1.5 m / 0.25 m) and
+that all waypoint planes fit the VMEM budget — the kernel samples every
+plane and selects by destination, so evacuation.toml's 33 waypoints run
+on this path at its small field size.
 
 Remaining XLA phases: spawn candidates, the cell sort, the slot scatter and
 the result gather — the index-bound ops the round-2 cell-resident design
@@ -30,32 +32,62 @@ from ..ops.pallas.fields6 import Fields6
 from ..ops.pallas.step_kernel import fused_step_kernel
 from .sfm import AgentState, SimState, StepConfig, StepMetrics, _spawn_candidates
 
-PALLAS_UNIT = 1.5
-MAX_WAYPOINTS = 8
+PALLAS_UNIT = 1.5  # production neighbor unit (stride 6 at 0.25 m fields)
+VMEM_BUDGET = 60 * 1024 * 1024  # matches the kernel's vmem_limit headroom
 
 
-def supports(cfg: StepConfig) -> bool:
+def stride_for(cfg: StepConfig) -> int | None:
+    """Field cells per neighbor cell, when integral (the layout
+    precondition); None otherwise."""
+    ratio = cfg.grid.unit / cfg.field_unit
+    s = round(ratio)
+    if abs(ratio - s) > 1e-6 or not (2 <= s <= 16):
+        return None
+    return s
+
+
+def vmem_need_bytes(cfg: StepConfig, row_block: int = 2) -> int:
+    """Kernel VMEM footprint: field windows (all waypoint planes resident)
+    + the agent window/output/scratch."""
+    s = stride_for(cfg) or 6
+    rb = row_block
+    k = cfg.table_capacity
+    nxl = -(-(cfg.grid.nx + 3) // 128) * 128
+    flen = s * (rb + 2) + 2
+    n_wp = max(1, len(cfg.scenario.waypoints))
+    per_plane = flen * s * 4 * nxl * 4
+    agents = (2 * (rb + 2) + rb) * k * 8 * nxl * 4
+    return (n_wp + 1) * per_plane + agents
+
+
+def supports(cfg: StepConfig, row_block: int = 2) -> bool:
+    """Any scenario with an integral neighbor/field unit ratio whose
+    waypoint planes fit VMEM runs on the fused kernels — including
+    evacuation.toml's 33 waypoints (backend-agnostic acceptance,
+    pedoni-simulator/src/lib.rs:32-35)."""
     return (
-        abs(cfg.grid.unit - PALLAS_UNIT) < 1e-6
-        and abs(cfg.field_unit - 0.25) < 1e-6
-        and 1 <= len(cfg.scenario.waypoints) <= MAX_WAYPOINTS
+        stride_for(cfg) is not None
+        and len(cfg.scenario.waypoints) >= 1
+        and vmem_need_bytes(cfg, row_block) <= VMEM_BUDGET
     )
 
 
 def pallas_device_inputs(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
     ny_pad = -(-cfg.grid.ny // row_block) * row_block
-    f6 = Fields6.build(maps, cfg.grid.nx, ny_pad)
+    f6 = Fields6.build(maps, cfg.grid.nx, ny_pad, stride=stride_for(cfg) or 6)
     return jnp.asarray(f6.wp), jnp.asarray(f6.obs)
 
 
 def make_step_pallas(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
     """Build the pallas-backend step:
     (SimState, fwp, fobs) -> (SimState, StepMetrics)."""
-    if not supports(cfg):
+    if not supports(cfg, row_block):
         raise ValueError(
-            "pallas backend needs neighbor_grid_unit=1.5, field_unit=0.25 "
-            f"and <= {MAX_WAYPOINTS} waypoints"
+            "pallas backend needs an integral neighbor/field unit ratio and "
+            f"waypoint planes fitting VMEM (need {vmem_need_bytes(cfg, row_block)}"
+            f" bytes of {VMEM_BUDGET})"
         )
+    stride = stride_for(cfg)
     phys = cfg.physics
     grid = cfg.grid
     k = cfg.table_capacity
@@ -123,7 +155,8 @@ def make_step_pallas(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
             for i in range(nb)
         ]).astype(jnp.int32)
         out = fused_step_kernel(dk, fwp, fobs, phys, cfg.scenario.size,
-                                row_block=rb, interpret=interpret, jmax=win)
+                                row_block=rb, interpret=interpret, jmax=win,
+                                stride=stride, field_unit=cfg.field_unit)
 
         # 5. gather results back by slot.
         out_flat = jnp.transpose(out, (0, 1, 3, 2)).reshape(-1, 8)

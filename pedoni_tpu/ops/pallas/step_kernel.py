@@ -39,11 +39,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...physics import Physics
-from .fields6 import N_CH, PATCH, ROW0, STRIDE
+from .fields6 import N_CH, ROW0, STRIDE, patch_extent
 from .pairwise import _pair_accum
 
 EPS = 1e-12
-INV_UNIT = 4.0  # 1 / field_unit (0.25 m)
 FPAD = 4.0  # field-map PAD rings
 
 
@@ -55,37 +54,41 @@ def _shift_lane(arr, delta: int):
     return pltpu.roll(arr, shift=(-delta) % arr.shape[-1], axis=arr.ndim - 1)
 
 
-def _sample_row(fwin, base_row: int, q0, p0, tx, ty):
-    """Bilinear sample of a 3-channel stride-6 plane for one cell row.
+def _sample_row(fwin, base_row: int, q0, p0, tx, ty, channels=(0, 1, 2),
+                stride: int = STRIDE):
+    """Bilinear sample of a stride-S plane for one cell row.
 
-    fwin: [FLEN, 6, 4, NXL] VMEM window; base_row: 6 * w (static);
+    fwin: [FLEN, S, 4, NXL] VMEM window; base_row: S * w (static);
     q0/p0: [K, NXL] integer patch-local tap coords; tx/ty: fractions.
-    Returns three [K, NXL] channel arrays.
+    ``channels`` selects which plane channels to evaluate (halo rows only
+    need the potential for the despawn test — a 6x saving there).
+    Returns one [K, NXL] array per requested channel.
     """
-    out = [None, None, None]
-    for qy in range(PATCH):
+    out = {ci: None for ci in channels}
+    for qy in range(patch_extent(stride)):
         wy = jnp.where(q0 == qy, 1.0 - ty, 0.0) + jnp.where(q0 == qy - 1, ty, 0.0)
-        for qx in range(PATCH):
+        for qx in range(patch_extent(stride)):
             wx = jnp.where(p0 == qx, 1.0 - tx, 0.0) + jnp.where(p0 == qx - 1, tx, 0.0)
             w = wy * wx
-            c = (ROW0 + qx) % STRIDE
-            dlt = (ROW0 + qx) // STRIDE
-            for ci in range(3):
+            c = (ROW0 + qx) % stride
+            dlt = (ROW0 + qx) // stride
+            for ci in channels:
                 # keep reads 2D ([1, NXL]); Mosaic rejects 1D vectors
                 val = _shift_lane(fwin[base_row + qy, c, ci : ci + 1, :], dlt)
                 term = w * val
                 out[ci] = term if out[ci] is None else out[ci] + term
-    return out
+    return [out[ci] for ci in channels]
 
 
 def _kernel(jmax_ref, roff_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref, window,
             fwp, fobs, act_scr, sems, *, rb: int, k: int, n_wp: int,
-            phys: Physics, grid_w: float, grid_h: float):
+            phys: Physics, grid_w: float, grid_h: float,
+            stride: int = STRIDE, inv_unit: float = 4.0):
     i = pl.program_id(0)
 
     cp = pltpu.make_async_copy(d_hbm.at[pl.ds(i * rb, rb + 2)], window, sems.at[0])
     cp.start()
-    fstart = i * (STRIDE * rb) + ROW0
+    fstart = i * (stride * rb) + ROW0
     cw = pltpu.make_async_copy(
         fwp_hbm.at[:, pl.ds(fstart, fwp.shape[1])], fwp, sems.at[1]
     )
@@ -106,8 +109,13 @@ def _kernel(jmax_ref, roff_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref, window,
     r0 = (i * rb + roff_ref[0]).astype(jnp.float32)
 
     # --- per-window-row sampling, despawn, goal/obstacle accelerations ---
+    # Halo rows (w = 0 and rb+1) contribute only their post-despawn active
+    # flag to the pair pass, so they sample just the potential channel of
+    # the destination plane — gradients, the obstacle plane and the force
+    # terms are center-row-only work.
     exs, eys, acts, accfx, accfy, pots = [], [], [], [], [], []
     for w in range(rb + 2):
+        is_center = 1 <= w <= rb
         posx = window[w, :, 0, :]
         posy = window[w, :, 1, :]
         velx = window[w, :, 2, :]
@@ -116,32 +124,48 @@ def _kernel(jmax_ref, roff_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref, window,
         dest = window[w, :, 5, :]
         act = window[w, :, 6, :]
 
-        px = posx * INV_UNIT - 0.5 + FPAD
-        py = posy * INV_UNIT - 0.5 + FPAD
+        px = posx * inv_unit - 0.5 + FPAD
+        py = posy * inv_unit - 0.5 + FPAD
         bx = jnp.floor(px)
         by = jnp.floor(py)
         tx = px - bx
         ty = py - by
-        # Patch-local taps: p0 = floor(px) - (6x + 3), x = lane - 1;
-        # q0 = floor(py) - 6(r0 - 1 + w) - 3.
-        p0 = bx - (lane - 1.0) * STRIDE - ROW0
-        q0 = by - (r0 - 1.0 + w) * STRIDE - ROW0
-        base_row = STRIDE * w
+        # Patch-local taps: p0 = floor(px) - (S x + 3), x = lane - 1;
+        # q0 = floor(py) - S (r0 - 1 + w) - 3.
+        p0 = bx - (lane - 1.0) * stride - ROW0
+        q0 = by - (r0 - 1.0 + w) * stride - ROW0
+        base_row = stride * w
 
         pot = jnp.zeros_like(posx)
         gx = jnp.zeros_like(posx)
         gy = jnp.zeros_like(posx)
         for plane in range(n_wp):
-            v0, v1, v2 = _sample_row(fwp.at[plane], base_row, q0, p0, tx, ty)
             sel = dest == plane
+            if is_center:
+                v0, v1, v2 = _sample_row(fwp.at[plane], base_row, q0, p0,
+                                         tx, ty, stride=stride)
+                gx = jnp.where(sel, v1, gx)
+                gy = jnp.where(sel, v2, gy)
+            else:
+                (v0,) = _sample_row(fwp.at[plane], base_row, q0, p0, tx, ty,
+                                    channels=(0,), stride=stride)
             pot = jnp.where(sel, v0, pot)
-            gx = jnp.where(sel, v1, gx)
-            gy = jnp.where(sel, v2, gy)
-        dist, dgx, dgy = _sample_row(fobs, base_row, q0, p0, tx, ty)
 
         # Despawn (sfm.rs:69) + out-of-grid (neighbor_grid.rs:29).
         in_grid = (posx >= 0.0) & (posx < grid_w) & (posy >= 0.0) & (posy < grid_h)
         act_new = jnp.where((pot > phys.despawn_potential) & in_grid, act, 0.0)
+        acts.append(act_new)
+        pots.append(pot)
+
+        if not is_center:
+            exs.append(None)
+            eys.append(None)
+            accfx.append(None)
+            accfy.append(None)
+            continue
+
+        dist, dgx, dgy = _sample_row(fobs, base_row, q0, p0, tx, ty,
+                                     stride=stride)
 
         # Goal force (sfm.rs:107-109); the Sobel points downhill.
         g_norm = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy, EPS))
@@ -158,17 +182,13 @@ def _kernel(jmax_ref, roff_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref, window,
 
         exs.append(ex)
         eys.append(ey)
-        acts.append(act_new)
         accfx.append(afx)
         accfy.append(afy)
-        pots.append(pot)
 
     # Candidate actives must live in a ref (Mosaic cannot dynamic-slice
     # values inside the slot loop).
     for w in range(rb + 2):
         act_scr[w] = acts[w]
-    ex_w = jnp.stack(exs)
-    ey_w = jnp.stack(eys)
     act_c = jnp.stack(acts[1 : 1 + rb])
 
     # --- pairwise pass (center rows 1..rb of the window) ---
@@ -177,11 +197,11 @@ def _kernel(jmax_ref, roff_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref, window,
         "py": window[1 : 1 + rb, :, 1, :],
         "vx": window[1 : 1 + rb, :, 2, :],
         "vy": window[1 : 1 + rb, :, 3, :],
-        "ex": ex_w[1 : 1 + rb],
-        "ey": ey_w[1 : 1 + rb],
+        "ex": jnp.stack(exs[1 : 1 + rb]),
+        "ey": jnp.stack(eys[1 : 1 + rb]),
     }
-    accx = jnp.stack(accfx)[1 : 1 + rb]
-    accy = jnp.stack(accfy)[1 : 1 + rb]
+    accx = jnp.stack(accfx[1 : 1 + rb])
+    accy = jnp.stack(accfy[1 : 1 + rb])
 
     # Occupancy bound: no cell in this block's window holds more than
     # jmax agents, so candidate slots >= jmax are all empty — skip them.
@@ -229,25 +249,29 @@ def _kernel(jmax_ref, roff_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref, window,
     out_ref[:, :, 4, :] = speed
     out_ref[:, :, 5, :] = window[1 : 1 + rb, :, 5, :]
     out_ref[:, :, 6, :] = act_c
-    out_ref[:, :, 7, :] = jnp.stack(pots)[1 : 1 + rb]
+    out_ref[:, :, 7, :] = jnp.stack(pots[1 : 1 + rb])
 
 
 def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
                       phys: Physics, grid_size: tuple[float, float],
                       row_block: int = 4, interpret: bool = False,
                       jmax: jnp.ndarray | None = None,
-                      row_offset: jnp.ndarray | None = None) -> jnp.ndarray:
+                      row_offset: jnp.ndarray | None = None,
+                      stride: int = STRIDE,
+                      field_unit: float = 0.25) -> jnp.ndarray:
     """Run the fused sample+forces+integrate kernel.
 
     d    [ny_pad+2, K, 8, NXL]  (NXL % 128 == 0, ny_pad % row_block == 0)
-    fwp  [n_wp, R6, 6, 4, NXL]  (fields6.Fields6.wp)
-    fobs [R6, 6, 4, NXL]
+    fwp  [n_wp, R, S, 4, NXL]  (fields6.Fields6.wp, stride S)
+    fobs [R, S, 4, NXL]
     grid_size: world (width, height) in meters for the out-of-grid despawn.
     jmax [nb] i32: per-block occupancy bound (max agents in any cell of the
     block's 3-row window); None disables the optimization (bound = K).
     row_offset [1] i32: global cell row of d's first real row — nonzero
     under row-strip sharding, where ``d``/``fwp``/``fobs`` are per-device
     slabs but agent positions stay in global coordinates.
+    stride / field_unit: the field layout (neighbor unit = stride *
+    field_unit; see fields6.py).
     Returns OUT [ny_pad, K, 8, NXL].
     """
     ny2, k, ch, nxl = d.shape
@@ -257,8 +281,9 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
     assert ny_pad % rb == 0
     nb = ny_pad // rb
     n_wp = fwp.shape[0]
-    flen = STRIDE * (rb + 2) + 2
-    need = STRIDE * (ny_pad - rb) + ROW0 + flen
+    assert fwp.shape[2] == stride, (fwp.shape, stride)
+    flen = stride * (rb + 2) + 2
+    need = stride * (ny_pad - rb) + ROW0 + flen
     assert fwp.shape[1] >= need, (fwp.shape, need)
 
     if jmax is None:
@@ -269,6 +294,7 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
     kernel = functools.partial(
         _kernel, rb=rb, k=k, n_wp=n_wp, phys=phys,
         grid_w=grid_size[0], grid_h=grid_size[1],
+        stride=stride, inv_unit=1.0 / field_unit,
     )
     return pl.pallas_call(
         kernel,
@@ -286,8 +312,8 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((ny_pad, k, 8, nxl), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((rb + 2, k, 8, nxl), jnp.float32),
-            pltpu.VMEM((n_wp, flen, STRIDE, N_CH, nxl), jnp.float32),
-            pltpu.VMEM((flen, STRIDE, N_CH, nxl), jnp.float32),
+            pltpu.VMEM((n_wp, flen, stride, N_CH, nxl), jnp.float32),
+            pltpu.VMEM((flen, stride, N_CH, nxl), jnp.float32),
             pltpu.VMEM((rb + 2, k, nxl), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],

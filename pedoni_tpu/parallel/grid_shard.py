@@ -42,8 +42,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..field import FieldMaps
 from ..models.sfm import SimState, StepConfig, StepMetrics
 from ..models.sfm_grid import GridState, bin_state, spawn_scatter, unbin_state
-from ..models.sfm_pallas import supports
-from ..ops.pallas.fields6 import ROW0, STRIDE, Fields6
+from ..models.sfm_pallas import stride_for, supports
+from ..ops.pallas.fields6 import ROW0, Fields6
 from ..ops.pallas.rebin import rebin_kernel
 from ..ops.pallas.step_kernel import fused_step_kernel
 
@@ -78,21 +78,22 @@ class GridShardConfig:
 
 
 def shard_device_inputs(scfg: GridShardConfig, maps: FieldMaps):
-    """Per-device stride-6 field slabs, sharded on the device axis.
+    """Per-device stride-S field slabs, sharded on the device axis.
 
-    Device d's slab starts at global plane row d*rows_local*STRIDE, so the
+    Device d's slab starts at global plane row d*rows_local*S, so the
     kernel's local block arithmetic lands on the right taps unchanged."""
     cfg = scfg.base
     rl, rb = scfg.rows_local, scfg.row_block
-    f6 = Fields6.build(maps, cfg.grid.nx, scfg.ny_total)
-    flen = STRIDE * (rb + 2) + 2
-    r_need = STRIDE * (rl - rb) + ROW0 + flen
+    s = stride_for(cfg)
+    f6 = Fields6.build(maps, cfg.grid.nx, scfg.ny_total, stride=s)
+    flen = s * (rb + 2) + 2
+    r_need = s * (rl - rb) + ROW0 + flen
     wp = np.stack([
-        f6.wp[:, d * rl * STRIDE : d * rl * STRIDE + r_need]
+        f6.wp[:, d * rl * s : d * rl * s + r_need]
         for d in range(scfg.n_devices)
-    ])  # [D, n_wp, r_need, 6, 4, NXL]
+    ])  # [D, n_wp, r_need, S, 4, NXL]
     obs = np.stack([
-        f6.obs[d * rl * STRIDE : d * rl * STRIDE + r_need]
+        f6.obs[d * rl * s : d * rl * s + r_need]
         for d in range(scfg.n_devices)
     ])
     return wp, obs
@@ -173,6 +174,7 @@ def make_sharded_step(scfg: GridShardConfig, mesh: Mesh):
             d_pad, wp_slab, obs_slab, phys, cfg.scenario.size,
             row_block=rb, interpret=interpret, jmax=jmax,
             row_offset=row_lo[None],
+            stride=stride_for(cfg), field_unit=cfg.field_unit,
         )
         n_active = jnp.sum(g[:, :, 6, :]).astype(jnp.int32)
 

@@ -111,8 +111,8 @@ class Simulator:
 
             if not sfm_pallas.supports(self.cfg):
                 raise ValueError(
-                    f"{o.backend} backend requires neighbor_grid_unit=1.5, "
-                    "field_grid_unit=0.25 and <= 8 waypoints; "
+                    f"{o.backend} backend requires an integral neighbor/"
+                    "field unit ratio and waypoint planes fitting VMEM; "
                     "use backend='xla' for this scenario"
                 )
             if o.backend == "grid" and o.n_devices > 1:

