@@ -169,6 +169,8 @@ def run_headless(args: argparse.Namespace) -> Path:
             stream.stop()
         if keys is not None:
             keys.restore()  # never leave the tty in cbreak/no-echo
+        if hasattr(sim, "_traj_writer"):
+            sim._traj_writer.close()  # drain the async writer queue
 
     if args.profile:
         import jax
@@ -204,14 +206,13 @@ def _headless_loop(args, sim, diag, interrupted, renderer, keys,
             log.info("Step: %6d, Active pedestrians: %6d",
                      sim.step_count, rec.active_ped_count)
         if args.record_every and sim.step_count % args.record_every == 0:
-            import numpy as np
+            if not hasattr(sim, "_traj_writer"):
+                from .native import TrajectoryWriter
 
+                sim._traj_writer = TrajectoryWriter(
+                    Path(args.log_dir) / "traj.bin")
             pos, dest = sim.list_pedestrians()
-            out_dir = Path(args.log_dir)
-            out_dir.mkdir(parents=True, exist_ok=True)
-            np.savez_compressed(
-                out_dir / f"traj_{sim.step_count:08d}.npz", pos=pos, dest=dest
-            )
+            sim._traj_writer.append(sim.step_count, pos, dest)
         if args.frame_every and sim.step_count % args.frame_every == 0:
             from .renderer import save_frame
 

@@ -45,12 +45,13 @@ def _pair_accum(acc, center, cand, phys: Physics, self_slot=None):
     center slot equal to the candidate slot (same cell, k == j).
 
     Strength-reduced form of sfm.rs:129-153 (the VPU here is issue-bound
-    at ~1.5e12 elem-ops/s — see PLAN.md round-2 calibration — so every op
-    counts): all norms via one rsqrt (x·rsqrt(x) == sqrt(x) to 1 ulp,
-    lax.rsqrt is full precision on this TPU), and the FOV test divided
-    through by the (positive) force magnitude so |force| never
-    materializes: e·(−f) ≥ |f|·cosφ  ⇔  −(e·u) ≥ |u|·cosφ with
-    f = mag·u, mag ≥ 0.
+    at ~1.5e12 elem-ops/s and each rsqrt costs ~2 extra slots — see
+    PLAN.md round-2 calibration — so every op counts): all norms via one
+    rsqrt (x·rsqrt(x) == sqrt(x) to 1 ulp, lax.rsqrt is full precision on
+    this TPU), and the FOV test divided through by the (positive) force
+    magnitude AND squared so neither |force| nor |u| materializes:
+    e·(−f) ≥ |f|·cosφ  ⇔  −(e·u) ≥ |u|·cosφ with f = mag·u, mag ≥ 0
+                       ⇔  (e·u ≤ 0) ∨ ((e·u)² ≤ |u|²·cos²φ)  since cosφ < 0.
     """
     dt = phys.delta_time
     dx = center["px"] - cand["px"]
@@ -78,8 +79,9 @@ def _pair_accum(acc, center, cand, phys: Physics, self_slot=None):
     ux = dx * inv_d + t1x * inv_t1l
     uy = dy * inv_d + t1y * inv_t1l
     u2 = ux * ux + uy * uy
-    ulen = u2 * jax.lax.rsqrt(jnp.maximum(u2, EPS))
-    in_front = -(center["ex"] * ux + center["ey"] * uy) >= ulen * phys.cos_phi
+    eu = center["ex"] * ux + center["ey"] * uy
+    assert phys.cos_phi < 0, "squared FOV test assumes an obtuse half-angle"
+    in_front = (eu <= 0.0) | (eu * eu <= u2 * (phys.cos_phi * phys.cos_phi))
 
     w = jnp.where(valid, jnp.where(in_front, 1.0, phys.fov_damping), 0.0)
     m = w * mag

@@ -118,8 +118,9 @@ def test_cli_headless(tmp_path):
     )
     out = run_headless(args)
     d = json.loads(out.read_text())
-    assert d["total_steps"] == 21
-    assert len(d["step_metrics"]["active_ped_count"]) == 21
+    # --max-steps N runs exactly N ticks (the reference's loop break).
+    assert d["total_steps"] == 20
+    assert len(d["step_metrics"]["active_ped_count"]) == 20
 
 
 def test_cli_resume(tmp_path):
