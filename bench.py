@@ -30,7 +30,7 @@ import numpy as np
 
 
 def build(n_agents: int, density: float, seed: int, backend: str,
-          table_capacity: int, chunk_size: int):
+          table_capacity: int, chunk_size: int, row_block: int = 2):
     import jax
     import jax.numpy as jnp
 
@@ -79,9 +79,9 @@ def build(n_agents: int, density: float, seed: int, backend: str,
     if backend == "grid":
         from pedoni_tpu.models import sfm_grid, sfm_pallas
 
-        fwp, fobs = sfm_pallas.pallas_device_inputs(cfg, maps)
-        state = jax.jit(lambda s: sfm_grid.bin_state(cfg, s))(state)
-        raw_step = jax.jit(sfm_grid.make_step_grid(cfg, maps))
+        fwp, fobs = sfm_pallas.pallas_device_inputs(cfg, maps, row_block)
+        state = jax.jit(lambda s: sfm_grid.bin_state(cfg, s, row_block))(state)
+        raw_step = jax.jit(sfm_grid.make_step_grid(cfg, maps, row_block))
 
         def step(s):
             return raw_step(s, fwp, fobs)
@@ -123,6 +123,8 @@ def main() -> int:
                          "numbers as the headline)")
     ap.add_argument("--table-capacity", type=int, default=14,
                     help="slots per cell; overflow agents freeze for a step (reported)")
+    ap.add_argument("--row-block", type=int, default=2,
+                    help="cell rows per kernel block (grid/pallas backends)")
     ap.add_argument("--chunk-size", type=int, default=16384)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -135,7 +137,7 @@ def main() -> int:
         try:
             step, state, cfg = build(
                 args.agents, args.density, args.seed, args.backend,
-                args.table_capacity, args.chunk_size,
+                args.table_capacity, args.chunk_size, args.row_block,
             )
             if args.backend != "xla":  # force compile inside the guard
                 state, _ = step(state)

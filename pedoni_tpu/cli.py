@@ -55,7 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--neighbor-unit", type=float, default=1.4,
                    help="neighbor grid cell size in meters (args.rs:36-37)")
     p.add_argument("--work-size", type=int, default=2048,
-                   help="agent chunk size of the force pass (args.rs:39-40 analog)")
+                   help="agent slots per kernel dispatch block "
+                        "(args.rs:39-40 analog; sets the Pallas row_block "
+                        "= work-size/1024 cell rows, clamped to [1, 8])")
     p.add_argument("--max-steps", type=int, default=None,
                    help="stop after this many steps, headless only (args.rs:42-43)")
     p.add_argument("--seed", type=int, default=0, help="PRNG seed (new)")

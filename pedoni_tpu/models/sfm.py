@@ -122,7 +122,8 @@ class StepConfig:
     field_unit: float
     table_capacity: int = 16
     row_block: int = 4  # cell rows per dense-force block (memory knob)
-    chunk_size: int = 2048  # retained for CLI compatibility; unused
+    chunk_size: int = 2048  # --work-size; SimulatorOptions.row_block derives
+    #                         the Pallas dispatch granularity from it
     use_neighbor_grid: bool = True
     use_distance_map: bool = True
 

@@ -66,7 +66,9 @@ def _kernel(jmax_ref, roff_ref, g_hbm, out_ref, window, sem, *, rb: int,
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1).astype(jnp.float32)
 
     cnt = jnp.zeros((rb, 1, nxl), jnp.float32)
-    outs = tuple(jnp.zeros((rb, k, nxl), jnp.float32) for _ in range(7))
+    # channels 0-5 accumulate via one-hot MACs; the active channel needs no
+    # accumulation — bins are compacted, so slot k is occupied iff k < cnt.
+    outs = tuple(jnp.zeros((rb, k, nxl), jnp.float32) for _ in range(6))
     jmax = jmax_ref[i]
 
     for dy in (-1, 0, 1):
@@ -91,7 +93,7 @@ def _kernel(jmax_ref, roff_ref, g_hbm, out_ref, window, sem, *, rb: int,
                 1.0, 0.0,
             )
             for dxo in (-1, 0, 1):
-                sh = [_shift_lane(c, dxo) for c in ch]
+                sh = [_shift_lane(c, dxo) for c in ch[:6]]
                 lands = jnp.where(
                     _shift_lane(tgt_lane, dxo) == lane,
                     _shift_lane(lands_row, dxo), 0.0,
@@ -103,8 +105,9 @@ def _kernel(jmax_ref, roff_ref, g_hbm, out_ref, window, sem, *, rb: int,
 
         cnt, *outs = jax.lax.fori_loop(0, jmax, body, (cnt, *outs))
 
-    for c in range(7):
+    for c in range(6):
         out_ref[:, :, c, :] = outs[c]
+    out_ref[:, :, 6, :] = jnp.where(k_iota < cnt, 1.0, 0.0)
     out_ref[:, :, 7, :] = jnp.broadcast_to(cnt, (rb, k, nxl))
 
 

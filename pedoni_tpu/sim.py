@@ -48,11 +48,19 @@ class SimulatorOptions:
     use_neighbor_grid: bool = True
     use_distance_map: bool = True
     table_capacity: int = 16
-    chunk_size: int = 2048
+    chunk_size: int = 2048  # reference --work-size; row_block derives from it
     capacity: int = 0  # 0 = auto-size from the scenario
     seed: int = 0
     physics: Physics = Physics()
     n_devices: int = 1  # >1 = row-strip sharding (grid backend only)
+
+    @property
+    def row_block(self) -> int:
+        """Kernel dispatch granularity in cell rows — the analog of the
+        reference's --work-size workgroup knob (args.rs:39-40,
+        sfm_gpu.rs:172-173): one block processes ~chunk_size agent slots,
+        so the flag genuinely changes dispatch shape here too."""
+        return max(1, min(8, self.chunk_size // 1024))
 
 
 class Simulator:
@@ -130,7 +138,7 @@ class Simulator:
                 self._mesh = Mesh(_np.array(devices[: o.n_devices]),
                                   (grid_shard.AXIS,))
                 self._scfg = grid_shard.GridShardConfig.build(
-                    self.cfg, o.n_devices)
+                    self.cfg, o.n_devices, row_block=o.row_block)
                 wp, obs = grid_shard.shard_device_inputs(self._scfg, self.maps)
                 sh = NamedSharding(self._mesh, PartitionSpec(grid_shard.AXIS))
                 import jax.numpy as jnp
@@ -142,12 +150,14 @@ class Simulator:
             else:
                 self._mesh = None
                 self._scfg = None
-                fwp, fobs = sfm_pallas.pallas_device_inputs(self.cfg, self.maps)
+                fwp, fobs = sfm_pallas.pallas_device_inputs(
+                    self.cfg, self.maps, row_block=o.row_block)
                 self._field_rows = fwp  # first step arg
                 self._obstacles = fobs  # second step arg
                 make = (sfm_grid.make_step_grid if o.backend == "grid"
                         else sfm_pallas.make_step_pallas)
-                self._step = jax.jit(make(self.cfg, self.maps))
+                self._step = jax.jit(
+                    make(self.cfg, self.maps, row_block=o.row_block))
         else:
             field, obstacles = device_inputs(self.cfg, self.maps)
             self._field_rows = field.rows
@@ -244,7 +254,8 @@ class Simulator:
 
             if self._scfg is not None:
                 return grid_shard.unbin_sharded(self._scfg, self.state)
-            return sfm_grid.unbin_state(self.cfg, self.state)
+            return sfm_grid.unbin_state(self.cfg, self.state,
+                                        row_block=self.options.row_block)
         return self.state
 
     def _from_flat_state(self, state):
@@ -257,7 +268,8 @@ class Simulator:
             if self._scfg is not None:
                 return grid_shard.make_sharded_grid_state(
                     self._scfg, self._mesh, state)
-            return sfm_grid.bin_state(self.cfg, state)
+            return sfm_grid.bin_state(self.cfg, state,
+                                      row_block=self.options.row_block)
         return state
 
     def _flat_agents(self):
