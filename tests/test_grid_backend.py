@@ -10,6 +10,7 @@ numeric drift) step after step.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pedoni_tpu.field import Field, FieldMaps
 from pedoni_tpu.models import sfm_grid, sfm_pallas
@@ -98,9 +99,12 @@ def test_grid_matches_flat_pallas_multistep():
     np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_grid_spawn_matches_flat():
     """Periodic spawns inject the same agents into both backends (same
-    PRNG stream) and they participate in forces the same tick."""
+    PRNG stream) and they participate in forces the same tick.
+    Slow-marked: spawn equivalence is also covered by the sharded tests
+    and this is the most compile-heavy case in the suite."""
     sf, mf, sg_flat, mg = _run_both(SPAWN_SCENARIO, n_steps=6, n=40)
     assert int(mg.n_spawned) == int(mf.n_spawned)
     assert int(mg.n_active) == int(mf.n_active)

@@ -93,7 +93,10 @@ def _run_sharded(maps, cfg, state0, n_steps, n_dev):
     return grid_shard.unbin_sharded(scfg, gs), m
 
 
-@pytest.mark.parametrize("n_dev", [2, 4])
+@pytest.mark.parametrize(
+    "n_dev",
+    [2, pytest.param(4, marks=pytest.mark.slow)],  # 4-dev compile is heavy
+)
 def test_sharded_equals_single_chip(n_dev):
     maps, cfg, state0 = _setup()
     want, m1 = _run_single(maps, cfg, state0, n_steps=4)
