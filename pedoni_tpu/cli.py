@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-dir", default="logs", help="diagnostic log directory")
     p.add_argument("--render", action="store_true",
                    help="live terminal rendering while running")
+    p.add_argument("--render-web", type=int, nargs="?", const=8000,
+                   default=None, metavar="PORT",
+                   help="serve a browser live view on PORT (default 8000): "
+                        "drag-pan, scroll-zoom, Space pause — the windowed "
+                        "GUI equivalent (renderer/mod.rs:54-63,121-168)")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="write a checkpoint every N steps (new)")
     p.add_argument("--checkpoint-dir", default="checkpoints")
@@ -140,6 +145,14 @@ def run_headless(args: argparse.Namespace) -> Path:
     renderer = None
     keys = None
     stream = None
+    viewer = None
+    if getattr(args, "render_web", None) is not None:
+        from .webview import WebViewer
+
+        viewer = WebViewer(sim.scenario, fetch=sim.list_pedestrians,
+                           port=args.render_web).start()
+        log.info("web view: %s", viewer.url)
+        print(f"web view: {viewer.url}", flush=True)
     if args.render:
         from .renderer import KeyPoller, SnapshotStream, TerminalRenderer
 
@@ -165,8 +178,10 @@ def run_headless(args: argparse.Namespace) -> Path:
     paused = False
     try:
         _headless_loop(args, sim, diag, interrupted, renderer, keys,
-                       min_interval, paused)
+                       min_interval, paused, viewer)
     finally:
+        if viewer is not None:
+            viewer.stop()
         if stream is not None:
             stream.stop()
         if keys is not None:
@@ -188,7 +203,7 @@ def run_headless(args: argparse.Namespace) -> Path:
 
 
 def _headless_loop(args, sim, diag, interrupted, renderer, keys,
-                   min_interval, paused) -> None:
+                   min_interval, paused, viewer=None) -> None:
     while not interrupted:
         start = time.perf_counter()
         if keys is not None:
@@ -199,11 +214,13 @@ def _headless_loop(args, sim, diag, interrupted, renderer, keys,
                     interrupted.append(True)
                 elif renderer is not None:
                     renderer.handle_key(ch)  # camera pan/zoom
-        if paused:
+        if paused or (viewer is not None and viewer.paused):
             time.sleep(0.05)
             continue
         rec = sim.tick()
         diag.push(rec)
+        if viewer is not None:
+            viewer.set_step(sim.step_count)
         if sim.step_count % 100 == 0:
             log.info("Step: %6d, Active pedestrians: %6d",
                      sim.step_count, rec.active_ped_count)

@@ -81,7 +81,10 @@ def _pair_accum(acc, center, cand, phys: Physics, self_slot=None):
     u2 = ux * ux + uy * uy
     eu = center["ex"] * ux + center["ey"] * uy
     assert phys.cos_phi < 0, "squared FOV test assumes an obtuse half-angle"
-    in_front = (eu <= 0.0) | (eu * eu <= u2 * (phys.cos_phi * phys.cos_phi))
+    # One-sided form of (eu <= 0) | (eu^2 <= u2 cos^2):  eu*|eu| folds the
+    # sign through the square, so eu <= 0 makes the LHS non-positive and
+    # the test vacuously true — exact, and one VPU op cheaper.
+    in_front = eu * jnp.abs(eu) <= u2 * (phys.cos_phi * phys.cos_phi)
 
     w = jnp.where(valid, jnp.where(in_front, 1.0, phys.fov_damping), 0.0)
     m = w * mag

@@ -11,7 +11,7 @@ Because agents move at most ``max_speed_factor * speed * dt`` (< one
 1.5 m cell for any sane desired speed), every output cell's new occupants
 come from its 3x3 neighborhood, which sits inside the block's DMA window.
 For each center row the kernel walks the 9*jmax candidates in a fixed
-(dy, j, dx) order, keeping a per-lane running count ``cnt``; a candidate
+(j, dy, dx) order, keeping a per-lane running count ``cnt``; a candidate
 landing in this cell is written to slot ``cnt`` via a one-hot
 ``(k_iota == cnt)`` select-accumulate.  Output bins are fully compacted
 (rank-dense, no holes), so the per-cell count doubles as the free-slot
@@ -71,9 +71,13 @@ def _kernel(jmax_ref, roff_ref, g_hbm, out_ref, window, sem, *, rb: int,
     outs = tuple(jnp.zeros((rb, k, nxl), jnp.float32) for _ in range(6))
     jmax = jmax_ref[i]
 
-    for dy in (-1, 0, 1):
-        def body(j, carry, dy=dy):
-            cnt, *outs = carry
+    # All 9 window offsets in ONE fori body — loop-control/carry overhead
+    # is paid per candidate slot, not per (dy, slot).  Compaction order is
+    # (j, dy, dx); any fixed order is valid (bins are sets — the flat path
+    # orders by agent index, tests compare position sets).
+    def body(j, carry):
+        cnt, *outs = carry
+        for dy in (-1, 0, 1):
             ch = [window[1 + dy : 1 + dy + rb, pl.ds(j, 1), c, :]
                   for c in range(7)]
             act = ch[6] > 0.5
@@ -101,9 +105,9 @@ def _kernel(jmax_ref, roff_ref, g_hbm, out_ref, window, sem, *, rb: int,
                 onehot = jnp.where(k_iota == cnt, lands, 0.0)
                 outs = [o + onehot * s for o, s in zip(outs, sh)]
                 cnt = cnt + lands
-            return (cnt, *outs)
+        return (cnt, *outs)
 
-        cnt, *outs = jax.lax.fori_loop(0, jmax, body, (cnt, *outs))
+    cnt, *outs = jax.lax.fori_loop(0, jmax, body, (cnt, *outs))
 
     for c in range(6):
         out_ref[:, :, c, :] = outs[c]

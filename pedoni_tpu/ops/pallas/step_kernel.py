@@ -205,10 +205,14 @@ def _kernel(jmax_ref, roff_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref, window,
 
     # Occupancy bound: no cell in this block's window holds more than
     # jmax agents, so candidate slots >= jmax are all empty — skip them.
+    # All 9 window offsets sit in ONE fori body: the loop-control and
+    # carry overhead (~200 ns/trip measured, PLAN.md) is paid once per
+    # candidate slot instead of once per (dy, slot).
     jmax = jmax_ref[pl.program_id(0)]
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
-    for dy in (-1, 0, 1):
-        def body(j, acc, dy=dy):
+
+    def body(j, acc):
+        for dy in (-1, 0, 1):
             row = {
                 "px": window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 0, :],
                 "py": window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 1, :],
@@ -220,9 +224,9 @@ def _kernel(jmax_ref, roff_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref, window,
                 cand = {name: _shift_lane(arr, dxo) for name, arr in row.items()}
                 self_slot = (slot_iota == j) if (dy == 0 and dxo == 0) else None
                 acc = _pair_accum(acc, center, cand, phys, self_slot)
-            return acc
+        return acc
 
-        accx, accy = jax.lax.fori_loop(0, jmax, body, (accx, accy))
+    accx, accy = jax.lax.fori_loop(0, jmax, body, (accx, accy))
 
     # --- integrate (sfm.rs:245-254), center rows only ---
     dt = phys.delta_time

@@ -3,7 +3,7 @@
 The kernel's contract: given the post-step grid (agents possibly displaced
 by up to one cell), produce fully compacted bins where each output cell
 holds the agents whose floor(pos/unit) lands there, in the kernel's fixed
-(dy, slot, dx) candidate order; overflow beyond K dropped; agents landing
+(slot, dy, dx) candidate order; overflow beyond K dropped; agents landing
 outside the [nx_cells, ny_cells] field vanish (neighbor_grid.rs:29).
 """
 
@@ -27,8 +27,8 @@ def _numpy_rebin(g: np.ndarray, unit: float, nx_cells: int,
     for r in range(ny):          # output cell row r lives at g row r+1
         for lane in range(nxl):  # output cell x = lane - 1
             cnt = 0
-            for dy in (-1, 0, 1):
-                for j in range(kk):
+            for j in range(kk):
+                for dy in (-1, 0, 1):
                     for dxo in (-1, 0, 1):
                         src_lane = (lane + dxo) % nxl
                         cand = g[r + 1 + dy, j, :, src_lane]
@@ -112,7 +112,7 @@ def test_rebin_overflow_drops_in_order():
     cell = got[1, :, :, 6]  # row 1, lane 6 = cell (1, 5)
     assert (cell[:, 6] > 0.5).all()
     assert got[1, 0, 7, 6] == 18  # demand recorded
-    # candidate order: (dy=0, j, dx=-1,0,1) -> j=0: x=4,5,6; j=1: ...
+    # candidate order: (j, dy=0, dx=-1,0,1) -> j=0: x=4,5,6; j=1: ...
     np.testing.assert_array_equal(cell[:, 4], [400, 500, 600, 401, 501, 601])
     assert (got[:, :, 6, :] > 0.5).sum() == K
 
