@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the simulation over N devices (row strips, "
                         "grid backend only; the scaling axis the reference "
                         "lacks)")
+    p.add_argument("--tile", default=None, metavar="RxC",
+                   help="2D device tiling, e.g. 4x2 (rows x cols; must "
+                        "cover --devices); default = row strips")
     p.add_argument("-s", "--speed", type=float, default=100.0,
                    help="max playback speed multiple of real time (args.rs:23-24)")
     p.add_argument("--no-neighbor-grid", action="store_true",
@@ -101,8 +104,13 @@ def make_simulator(args: argparse.Namespace):
         model_backend = "grid"  # sharding runs on the grid backend
         if neighbor_unit == 1.4:
             neighbor_unit = 1.5
+    tile = None
+    if getattr(args, "tile", None):
+        r, c = args.tile.lower().split("x")
+        tile = (int(r), int(c))
     options = SimulatorOptions(
         backend=model_backend,
+        tile=tile,
         neighbor_grid_unit=neighbor_unit,
         field_grid_unit=args.field_unit,
         use_neighbor_grid=not args.no_neighbor_grid,

@@ -126,32 +126,50 @@ def make_initial_grid_state(cfg: StepConfig, seed: int = 0,
 
 
 def spawn_scatter(cfg: StepConfig, d: jnp.ndarray, key: jnp.ndarray,
-                  row_lo: int | jnp.ndarray, n_rows: int):
+                  row_lo: int | jnp.ndarray, n_rows: int,
+                  col_lo: int | jnp.ndarray = 0, n_cols: int | None = None):
     """Scatter this step's spawn candidates into free grid slots.
 
     ``d`` is a padded slab [n_rows+2, K, 8, NXL] holding cell rows
-    [row_lo, row_lo + n_rows); a candidate is claimed iff its cell row
-    falls in that window (under row-strip sharding every device runs the
-    same candidate stream and exactly one claims each in-field candidate).
+    [row_lo, row_lo + n_rows) and cell columns [col_lo, col_lo + n_cols)
+    (lane l = column col_lo + l - 1).  A candidate is WRITTEN iff its
+    cell falls in the window *including the one-cell ghost ring*, but
+    COUNTED (spawned/dropped) only by the owning device: every device
+    runs the same candidate stream, per-cell candidate ranks are
+    stream-order-stable and the ghost ring's count channel was just
+    exchanged, so the ghost copy is bit-identical to the owner's own
+    placement — spawned agents exert forces across tile boundaries the
+    same tick, exactly like single-chip (reference lib.rs:64-90 spawns
+    before update_states).  Ghost copies are transient: kernel outputs
+    only center rows and the rebin keeps only owned cells.
     Slot = per-cell count (channel 7, slot 0) + rank among same-cell
-    candidates; candidates beyond K are dropped and counted.
+    candidates; candidates beyond K are dropped and counted (by the
+    owner only).
     Returns (d, n_spawned_here, n_dropped_here).
     """
     grid = cfg.grid
     k = cfg.table_capacity
     n2, kk, ch, nxl = d.shape
     assert kk == k and ch == 8 and n2 == n_rows + 2
+    if n_cols is None:
+        n_cols = grid.nx
     flat_len = n2 * k * 8 * nxl
     s = cfg.spawn.total
     cand = _spawn_candidates(cfg, key)
-    cx = jnp.floor(cand.pos[:, 0] / grid.unit).astype(jnp.int32)
+    gx = jnp.floor(cand.pos[:, 0] / grid.unit).astype(jnp.int32)
     cy = jnp.floor(cand.pos[:, 1] / grid.unit).astype(jnp.int32)
-    ing = (cx >= 0) & (cx < grid.nx) & (cy >= 0) & (cy < grid.ny)
-    mine = (cy >= row_lo) & (cy < row_lo + n_rows)
-    ok0 = cand.active & ing & mine
-    n_spawned = jnp.sum(ok0).astype(jnp.int32)
-    ly = cy - row_lo  # local cell row
-    cell = jnp.where(ok0, ly * grid.nx + cx, n_rows * grid.nx)
+    ing = (gx >= 0) & (gx < grid.nx) & (cy >= 0) & (cy < grid.ny)
+    owned = (cand.active & ing
+             & (cy >= row_lo) & (cy < row_lo + n_rows)
+             & (gx >= col_lo) & (gx < col_lo + n_cols))
+    writable = (cand.active & ing
+                & (cy >= row_lo - 1) & (cy < row_lo + n_rows + 1)
+                & (gx >= col_lo - 1) & (gx < col_lo + n_cols + 1))
+    n_spawned = jnp.sum(owned).astype(jnp.int32)
+    ly = cy - row_lo  # local cell row, -1..n_rows inside the write window
+    cx = gx - col_lo  # local cell column, -1..n_cols
+    cell = jnp.where(writable, (ly + 1) * (grid.nx + 2) + (cx + 1),
+                     (n_rows + 2) * (grid.nx + 2))
     order = jnp.argsort(cell, stable=True)
     cell_s = jnp.take(cell, order, mode="clip")
     idx = jnp.arange(s, dtype=jnp.int32)
@@ -160,14 +178,14 @@ def spawn_scatter(cfg: StepConfig, d: jnp.ndarray, key: jnp.ndarray,
     )
     rank = idx - jax.lax.cummax(jnp.where(is_start, idx, 0))
     take = lambda a: jnp.take(a, order, mode="clip")  # noqa: E731
-    cx_s, ly_s, ok0_s = take(cx), take(ly), take(ok0)
+    cx_s, ly_s, ok0_s, owned_s = take(cx), take(ly), take(writable), take(owned)
     cnt_flat = d[:, 0, 7, :].reshape(-1)
     base_cnt = jnp.take(
         cnt_flat, (ly_s + 1) * nxl + (cx_s + 1), mode="clip"
     ).astype(jnp.int32)
     slot_k = base_cnt + rank
     ok = ok0_s & (slot_k < k)
-    n_drop = (n_spawned - jnp.sum(ok)).astype(jnp.int32)
+    n_drop = (n_spawned - jnp.sum(owned_s & ok)).astype(jnp.int32)
 
     base = ((ly_s + 1) * k + jnp.clip(slot_k, 0, k - 1)) * (8 * nxl) \
         + (cx_s + 1)

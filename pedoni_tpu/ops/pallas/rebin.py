@@ -49,18 +49,25 @@ def _shift_lane(arr, delta: int):
     return pltpu.roll(arr, shift=(-delta) % arr.shape[-1], axis=arr.ndim - 1)
 
 
-def _kernel(jmax_ref, roff_ref, g_hbm, out_ref, window, sem, *, rb: int,
-            k: int, unit: float, nx_cells: int, ny_cells: int):
+def _kernel(jmax_ref, roff_ref, coff_ref, g_hbm, out_ref, window, sem, *,
+            rb: int, k: int, unit: float, nx_cells: int, ny_cells: int,
+            nx_local: int):
     i = pl.program_id(0)
     cp = pltpu.make_async_copy(g_hbm.at[pl.ds(i * rb, rb + 2)], window, sem)
     cp.start()
     cp.wait()
 
     nxl = window.shape[-1]
-    # Output cell at lane l is cell x = l - 1; center row w is GLOBAL cell
-    # row row_offset + i*rb + w (positions are global coordinates even
-    # when g is a per-device slab under row-strip sharding).
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nxl), 2).astype(jnp.float32)
+    # Output cell at LOCAL lane l is global cell x = col_offset + l - 1;
+    # center row w is GLOBAL cell row row_offset + i*rb + w (positions are
+    # global coordinates even when g is a per-device slab under spatial
+    # sharding).  Only owned lanes [1, nx_lim] keep agents: ghost lanes
+    # belong to the lane-neighbor device (or fall off the field edge).
+    coff = coff_ref[0]
+    lane = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, nxl), 2)
+            + coff).astype(jnp.float32)
+    nx_lim = (jnp.minimum(jnp.int32(nx_local) + coff, jnp.int32(nx_cells))
+              ).astype(jnp.float32)
     row_f = (jax.lax.broadcasted_iota(jnp.int32, (rb, 1, 1), 0).astype(jnp.float32)
              + (i * rb + roff_ref[0]).astype(jnp.float32))
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1).astype(jnp.float32)
@@ -83,17 +90,20 @@ def _kernel(jmax_ref, roff_ref, g_hbm, out_ref, window, sem, *, rb: int,
             act = ch[6] > 0.5
             # f32 division, matching ops/neighbor.compute_cell_ids exactly
             # (an inv-unit multiply rounds differently at cell boundaries).
+            # tgt_lane is the GLOBAL lane coordinate (global cell + 1).
             tgt_lane = jnp.floor(ch[0] / unit) + 1.0
             tgt_row = jnp.floor(ch[1] / unit)
             # Off-field agents (ghost column / pad rows) vanish like the
-            # reference's out-of-grid drop (neighbor_grid.rs:29).  The mask
-            # rides as f32 — Mosaic cannot lane-rotate i1 vectors.
+            # reference's out-of-grid drop (neighbor_grid.rs:29); agents
+            # landing past the owned lanes belong to the lane-neighbor
+            # device (its rebin picks them out of its ghost lane).  The
+            # mask rides as f32 — Mosaic cannot lane-rotate i1 vectors.
             lands_row = jnp.where(
                 act
                 & (tgt_row == row_f)
                 & (tgt_row <= jnp.float32(ny_cells - 1))
-                & (tgt_lane >= 1.0)
-                & (tgt_lane <= jnp.float32(nx_cells)),
+                & (tgt_lane >= coff.astype(jnp.float32) + 1.0)
+                & (tgt_lane <= nx_lim),
                 1.0, 0.0,
             )
             for dxo in (-1, 0, 1):
@@ -119,7 +129,9 @@ def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
                  ny_cells: int | None = None, row_block: int = 4,
                  interpret: bool = False,
                  jmax: jnp.ndarray | None = None,
-                 row_offset: jnp.ndarray | None = None) -> jnp.ndarray:
+                 row_offset: jnp.ndarray | None = None,
+                 col_offset: jnp.ndarray | None = None,
+                 nx_local: int | None = None) -> jnp.ndarray:
     """Rebin the post-step grid ``g`` into fresh compacted cell bins.
 
     g    [ny_pad+2, K, 8, NXL]  (NXL % 128 == 0, ny_pad % row_block == 0;
@@ -131,6 +143,10 @@ def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
     cell in the block's 3-row window); None means K.
     row_offset [1] i32: global cell row of g's first real row (row-strip
     sharding); None means 0.
+    col_offset [1] i32 / nx_local: under 2D tile sharding
+    (parallel/tile2d.py), lane l holds global cell column col_offset+l-1
+    and only lanes [1, nx_local] are owned — agents landing elsewhere are
+    the lane-neighbor's (its rebin keeps them).  Defaults: 0 / nx_cells.
     Returns D' [ny_pad, K, 8, NXL] with channel 7 = per-cell count.
     """
     ny2, k, ch, nxl = g.shape
@@ -145,13 +161,19 @@ def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
         jmax = jnp.full((nb,), k, jnp.int32)
     if row_offset is None:
         row_offset = jnp.zeros((1,), jnp.int32)
+    if col_offset is None:
+        col_offset = jnp.zeros((1,), jnp.int32)
+    if nx_local is None:
+        nx_local = nx_cells
 
     kernel = functools.partial(_kernel, rb=rb, k=k, unit=unit,
-                               nx_cells=nx_cells, ny_cells=ny_cells)
+                               nx_cells=nx_cells, ny_cells=ny_cells,
+                               nx_local=nx_local)
     return pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -165,4 +187,4 @@ def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(jmax, row_offset, g)
+    )(jmax, row_offset, col_offset, g)

@@ -80,8 +80,8 @@ def _sample_row(fwin, base_row: int, q0, p0, tx, ty, channels=(0, 1, 2),
     return [out[ci] for ci in channels]
 
 
-def _kernel(jmax_ref, roff_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref, window,
-            fwp, fobs, act_scr, sems, *, rb: int, k: int, n_wp: int,
+def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref,
+            window, fwp, fobs, act_scr, sems, *, rb: int, k: int, n_wp: int,
             phys: Physics, grid_w: float, grid_h: float,
             stride: int = STRIDE, inv_unit: float = 4.0):
     i = pl.program_id(0)
@@ -102,10 +102,12 @@ def _kernel(jmax_ref, roff_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref, window,
     co.wait()
 
     nxl = window.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nxl), 1).astype(jnp.float32)
-    # Global cell row of this block's first center row: the row offset is
-    # nonzero under row-strip sharding (parallel/grid_shard.py), where
-    # positions stay in global coordinates but blocks index a local slab.
+    # Global cell row/column offsets of this block: nonzero under spatial
+    # sharding (parallel/grid_shard.py rows; parallel/tile2d.py rows x
+    # cols), where positions stay in global coordinates but blocks index a
+    # local slab whose lane l holds global cell column col_offset + l - 1.
+    lane = (jax.lax.broadcasted_iota(jnp.int32, (1, nxl), 1)
+            + coff_ref[0]).astype(jnp.float32)
     r0 = (i * rb + roff_ref[0]).astype(jnp.float32)
 
     # --- per-window-row sampling, despawn, goal/obstacle accelerations ---
@@ -261,6 +263,7 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
                       row_block: int = 4, interpret: bool = False,
                       jmax: jnp.ndarray | None = None,
                       row_offset: jnp.ndarray | None = None,
+                      col_offset: jnp.ndarray | None = None,
                       stride: int = STRIDE,
                       field_unit: float = 0.25) -> jnp.ndarray:
     """Run the fused sample+forces+integrate kernel.
@@ -274,6 +277,9 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
     row_offset [1] i32: global cell row of d's first real row — nonzero
     under row-strip sharding, where ``d``/``fwp``/``fobs`` are per-device
     slabs but agent positions stay in global coordinates.
+    col_offset [1] i32: global cell column of lane 1 (2D tile sharding,
+    parallel/tile2d.py); the field slabs must be lane-sliced at the same
+    offset.
     stride / field_unit: the field layout (neighbor unit = stride *
     field_unit; see fields6.py).
     Returns OUT [ny_pad, K, 8, NXL].
@@ -294,6 +300,8 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
         jmax = jnp.full((nb,), k, jnp.int32)
     if row_offset is None:
         row_offset = jnp.zeros((1,), jnp.int32)
+    if col_offset is None:
+        col_offset = jnp.zeros((1,), jnp.int32)
 
     kernel = functools.partial(
         _kernel, rb=rb, k=k, n_wp=n_wp, phys=phys,
@@ -304,6 +312,7 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
         kernel,
         grid=(nb,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -325,4 +334,4 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(jmax, row_offset, d, fwp, fobs)
+    )(jmax, row_offset, col_offset, d, fwp, fobs)

@@ -52,7 +52,18 @@ class SimulatorOptions:
     capacity: int = 0  # 0 = auto-size from the scenario
     seed: int = 0
     physics: Physics = Physics()
-    n_devices: int = 1  # >1 = row-strip sharding (grid backend only)
+    n_devices: int = 1  # >1 = spatial sharding (grid backend only)
+    tile: tuple[int, int] | None = None  # (rows, cols) 2D device tiling;
+    #                        None = row strips (rows = n_devices, cols = 1)
+
+    def resolve_tile(self) -> tuple[int, int]:
+        if self.tile is not None:
+            r, c = self.tile
+            if r * c != self.n_devices:
+                raise ValueError(
+                    f"tile {r}x{c} does not cover n_devices={self.n_devices}")
+            return r, c
+        return self.n_devices, 1
 
     @property
     def row_block(self) -> int:
@@ -103,6 +114,7 @@ class Simulator:
         o = self.options
         self._mesh = None
         self._scfg = None
+        self._tcfg = None
         self.cfg = StepConfig.build(
             self.scenario,
             physics=o.physics,
@@ -124,29 +136,44 @@ class Simulator:
                     "use backend='xla' for this scenario"
                 )
             if o.backend == "grid" and o.n_devices > 1:
-                import numpy as _np
-                from jax.sharding import Mesh, NamedSharding, PartitionSpec
-
-                from .parallel import grid_shard
-
                 devices = jax.devices()
                 if len(devices) < o.n_devices:
                     raise ValueError(
                         f"--devices {o.n_devices} but only {len(devices)} "
                         "devices are visible"
                     )
-                self._mesh = Mesh(_np.array(devices[: o.n_devices]),
-                                  (grid_shard.AXIS,))
-                self._scfg = grid_shard.GridShardConfig.build(
-                    self.cfg, o.n_devices, row_block=o.row_block)
-                wp, obs = grid_shard.shard_device_inputs(self._scfg, self.maps)
-                sh = NamedSharding(self._mesh, PartitionSpec(grid_shard.AXIS))
-                import jax.numpy as jnp
+                rows, cols = o.resolve_tile()
+                if cols > 1:
+                    from .parallel import tile2d
 
-                self._field_rows = jax.device_put(jnp.asarray(wp), sh)
-                self._obstacles = jax.device_put(jnp.asarray(obs), sh)
-                self._step = jax.jit(
-                    grid_shard.make_sharded_step(self._scfg, self._mesh))
+                    self._tcfg = tile2d.Tile2DConfig.build(
+                        self.cfg, rows, cols, row_block=o.row_block)
+                    self._mesh = tile2d.make_mesh(self._tcfg, devices)
+                    self._field_rows, self._obstacles = \
+                        tile2d.device_inputs_on_mesh(
+                            self._tcfg, self._mesh, self.maps)
+                    self._step = jax.jit(
+                        tile2d.make_sharded_step(self._tcfg, self._mesh))
+                else:
+                    import numpy as _np
+                    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+                    from .parallel import grid_shard
+
+                    self._mesh = Mesh(_np.array(devices[: o.n_devices]),
+                                      (grid_shard.AXIS,))
+                    self._scfg = grid_shard.GridShardConfig.build(
+                        self.cfg, o.n_devices, row_block=o.row_block)
+                    wp, obs = grid_shard.shard_device_inputs(self._scfg,
+                                                             self.maps)
+                    sh = NamedSharding(self._mesh,
+                                       PartitionSpec(grid_shard.AXIS))
+                    import jax.numpy as jnp
+
+                    self._field_rows = jax.device_put(jnp.asarray(wp), sh)
+                    self._obstacles = jax.device_put(jnp.asarray(obs), sh)
+                    self._step = jax.jit(
+                        grid_shard.make_sharded_step(self._scfg, self._mesh))
             else:
                 self._mesh = None
                 self._scfg = None
@@ -252,6 +279,10 @@ class Simulator:
             from .models import sfm_grid
             from .parallel import grid_shard
 
+            if self._tcfg is not None:
+                from .parallel import tile2d
+
+                return tile2d.unbin_sharded(self._tcfg, self.state)
             if self._scfg is not None:
                 return grid_shard.unbin_sharded(self._scfg, self.state)
             return sfm_grid.unbin_state(self.cfg, self.state,
@@ -265,6 +296,11 @@ class Simulator:
             from .models import sfm_grid
             from .parallel import grid_shard
 
+            if self._tcfg is not None:
+                from .parallel import tile2d
+
+                return tile2d.make_sharded_grid_state(
+                    self._tcfg, self._mesh, state)
             if self._scfg is not None:
                 return grid_shard.make_sharded_grid_state(
                     self._scfg, self._mesh, state)

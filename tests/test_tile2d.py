@@ -1,0 +1,140 @@
+"""2D tile-sharded grid backend (parallel/tile2d.py) vs single chip.
+
+Every kernel block of the tiled step sees exactly the window a single
+chip would (ghost lanes + ghost rows, corners via exchange ordering), so
+R x C results must match the single-chip grid backend to float-reduction
+tolerance, including spawns near tile boundaries and migration in any of
+the 8 directions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from pedoni_tpu.field import Field, FieldMaps
+from pedoni_tpu.models import sfm_grid, sfm_pallas
+from pedoni_tpu.models.sfm import AgentState, SimState, StepConfig
+from pedoni_tpu.parallel import tile2d
+from pedoni_tpu.scenario import loads_scenario
+
+SCENARIO_NOSPAWN = """
+[field]
+size = [18, 12]
+[[waypoints]]
+line = [[2, 2], [2, 10]]
+[[waypoints]]
+line = [[16, 2], [16, 10]]
+[[obstacles]]
+line = [[9, 0], [9, 5]]
+width = 1
+"""
+
+SCENARIO = SCENARIO_NOSPAWN + """
+[[pedestrians]]
+origin = 0
+destination = 1
+spawn = { kind = "periodic", frequency = 6.0 }
+"""
+
+
+def _setup(n=140, seed=5, k=10):
+    sc = loads_scenario(SCENARIO)
+    field = Field.from_scenario(sc, unit=0.25)
+    maps = FieldMaps.from_field(field)
+    cfg = StepConfig.build(sc, capacity=512, neighbor_grid_unit=1.5,
+                           table_capacity=k)
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(0.8, np.array(sc.size) - 0.8, (512, 2)).astype(np.float32)
+    vel = rng.normal(0, 0.3, (512, 2)).astype(np.float32)
+    speed = np.clip(rng.normal(1.34, 0.26, 512), 0.3, None).astype(np.float32)
+    dest = rng.integers(0, 2, 512).astype(np.int32)
+    active = np.zeros(512, bool)
+    active[:n] = True
+    agents = AgentState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                        speed=jnp.asarray(speed), dest=jnp.asarray(dest),
+                        active=jnp.asarray(active))
+    return maps, cfg, SimState(agents=agents, key=jax.random.PRNGKey(11),
+                               step=jnp.int32(0))
+
+
+def _active_set(agents):
+    act = np.asarray(agents.active)
+    rows = np.concatenate(
+        [np.asarray(agents.pos), np.asarray(agents.vel),
+         np.asarray(agents.speed)[:, None],
+         np.asarray(agents.dest)[:, None].astype(np.float32)], axis=1)[act]
+    return rows[np.lexsort((rows[:, 1], rows[:, 0]))]
+
+
+def _run_single(maps, cfg, state0, n_steps):
+    fwp, fobs = map(jnp.asarray, sfm_pallas.pallas_device_inputs(cfg, maps))
+    step = jax.jit(sfm_grid.make_step_grid(cfg, maps))
+    sg = sfm_grid.bin_state(cfg, state0)
+    for _ in range(n_steps):
+        sg, m = step(sg, fwp, fobs)
+        jax.block_until_ready(sg)
+    return sfm_grid.unbin_state(cfg, sg), m
+
+
+def _run_tiled(maps, cfg, state0, n_steps, rows, cols):
+    tcfg = tile2d.Tile2DConfig.build(cfg, rows, cols)
+    mesh = tile2d.make_mesh(tcfg)
+    wp, obs = tile2d.device_inputs_on_mesh(tcfg, mesh, maps)
+    gs = tile2d.make_sharded_grid_state(tcfg, mesh, state0)
+    step = jax.jit(tile2d.make_sharded_step(tcfg, mesh))
+    for _ in range(n_steps):
+        gs, m = step(gs, wp, obs)
+        jax.block_until_ready(gs)  # lockstep: 1-core CPU collective safety
+    return tile2d.unbin_sharded(tcfg, gs), m
+
+
+@pytest.mark.parametrize(
+    "rows,cols",
+    [(1, 2), pytest.param(2, 2, marks=pytest.mark.slow)],
+)
+def test_tiled_equals_single_chip(rows, cols):
+    maps, cfg, state0 = _setup()
+    want, m1 = _run_single(maps, cfg, state0, n_steps=4)
+    got, mn = _run_tiled(maps, cfg, state0, n_steps=4, rows=rows, cols=cols)
+    assert int(mn.n_active) == int(m1.n_active)
+    assert int(mn.n_spawned) == int(m1.n_spawned)
+    a, b = _active_set(want.agents), _active_set(got.agents)
+    assert a.shape == b.shape
+    # Same FMA-contraction tolerance story as test_grid_shard.py.
+    np.testing.assert_allclose(b, a, rtol=1e-3, atol=2e-2)
+
+
+def test_migration_across_columns():
+    """Agents walking +x cross a column-tile boundary and arrive in the
+    lane-neighbor's bins with no loss (migration = the rebin picking
+    movers out of a ghost lane)."""
+    sc = loads_scenario(SCENARIO_NOSPAWN)
+    field = Field.from_scenario(sc, unit=0.25)
+    maps = FieldMaps.from_field(field)
+    cfg = StepConfig.build(sc, capacity=64, neighbor_grid_unit=1.5,
+                           table_capacity=6)
+    # nx=12 columns, 2 column tiles -> boundary at x = 6 cells = 9.0 m;
+    # use y rows clear of the obstacle (it spans x=9, y<5).
+    pos = np.zeros((64, 2), np.float32)
+    vel = np.zeros((64, 2), np.float32)
+    for i, y in enumerate((6.5, 7.5, 9.5, 10.5)):
+        pos[i] = (8.93, y)              # near the column boundary
+        vel[i] = (1.0, 0.0)             # walking +x
+    agents = AgentState(
+        pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+        speed=jnp.full((64,), 1.34, jnp.float32),
+        dest=jnp.ones((64,), jnp.int32),
+        active=jnp.asarray(np.arange(64) < 4),
+    )
+    state0 = SimState(agents=agents, key=jax.random.PRNGKey(0),
+                      step=jnp.int32(0))
+    got, m = _run_tiled(maps, cfg, state0, n_steps=2, rows=1, cols=2)
+    assert int(m.n_active) == 4
+    gact = np.asarray(got.agents.active)
+    gpos = np.asarray(got.agents.pos)[gact]
+    assert gpos.shape[0] == 4
+    assert (gpos[:, 0] > 9.0).all()  # all four crossed into the right tile
+    assert int(m.n_dropped) == 0
+    assert int(m.n_overflow) == 0
