@@ -63,6 +63,13 @@ def _sample_row(fwin, base_row: int, q0, p0, tx, ty, channels=(0, 1, 2),
     ``channels`` selects which plane channels to evaluate (halo rows only
     need the potential for the despawn test — a 6x saving there).
     Returns one [K, NXL] array per requested channel.
+
+    The two-sided select form is deliberate: inactive taps must carry an
+    EXACT zero weight.  A hat form max(0, 1 - |p0 + tx - q|) looks one op
+    cheaper but the p0 + tx rounding can leak ~2^-22 of weight onto a
+    neighboring tap, and taps just outside the field hold the 1e12
+    out-of-bounds clamp (util.rs:44-58) — a catastrophic ~1e5 potential
+    error next to obstacle rings.
     """
     out = {ci: None for ci in channels}
     for qy in range(patch_extent(stride)):
