@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve a browser live view on PORT (default 8000): "
                         "drag-pan, scroll-zoom, Space pause — the windowed "
                         "GUI equivalent (renderer/mod.rs:54-63,121-168)")
+    p.add_argument("--render-web-host", default="127.0.0.1", metavar="ADDR",
+                   help="bind address for --render-web; use 0.0.0.0 to "
+                        "expose the (unauthenticated) viewer beyond this "
+                        "machine")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="write a checkpoint every N steps (new)")
     p.add_argument("--checkpoint-dir", default="checkpoints")
@@ -100,14 +104,27 @@ def make_simulator(args: argparse.Namespace):
     if args.backend in ("pallas", "grid") and neighbor_unit == 1.4:
         neighbor_unit = 1.5  # the fused kernel's stride-6 layout needs 1.5 m
     model_backend = args.backend if args.backend in ("pallas", "grid") else "xla"
-    if getattr(args, "devices", 1) > 1 and model_backend != "grid":
+    tile = None
+    n_devices = getattr(args, "devices", 1)
+    if getattr(args, "tile", None):
+        parts = args.tile.lower().split("x")
+        try:
+            r, c = (int(p) for p in parts)
+        except ValueError:  # wrong count or non-integer parts
+            r = c = 0
+        if r < 1 or c < 1:
+            raise SystemExit(
+                f"--tile must be RxC with positive integers, got {args.tile!r}")
+        tile = (r, c)
+        if n_devices == 1:
+            n_devices = r * c  # --tile 4x2 alone implies --devices 8
+        elif n_devices != r * c:
+            raise SystemExit(
+                f"--tile {r}x{c} does not cover --devices {n_devices}")
+    if n_devices > 1 and model_backend != "grid":
         model_backend = "grid"  # sharding runs on the grid backend
         if neighbor_unit == 1.4:
             neighbor_unit = 1.5
-    tile = None
-    if getattr(args, "tile", None):
-        r, c = args.tile.lower().split("x")
-        tile = (int(r), int(c))
     options = SimulatorOptions(
         backend=model_backend,
         tile=tile,
@@ -120,7 +137,7 @@ def make_simulator(args: argparse.Namespace):
         capacity=args.capacity,
         seed=args.seed,
         physics=Physics(),
-        n_devices=getattr(args, "devices", 1),
+        n_devices=n_devices,
     )
 
     device = None
@@ -158,7 +175,9 @@ def run_headless(args: argparse.Namespace) -> Path:
         from .webview import WebViewer
 
         viewer = WebViewer(sim.scenario, fetch=sim.list_pedestrians,
-                           port=args.render_web).start()
+                           port=args.render_web,
+                           host=getattr(args, "render_web_host",
+                                        "127.0.0.1")).start()
         log.info("web view: %s", viewer.url)
         print(f"web view: {viewer.url}", flush=True)
     if args.render:

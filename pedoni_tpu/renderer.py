@@ -143,14 +143,21 @@ class TerminalRenderer:
 
 class SnapshotStream:
     """Background thread that repeatedly fetches (pos, dest) snapshots and
-    hands them to a callback, double-buffered so the sim loop never waits."""
+    hands them to a callback, double-buffered so the sim loop never waits.
+
+    Pacing is adaptive: each cycle sleeps at least ``backoff`` times the
+    duration of the previous fetch, so when a fetch is expensive (grid
+    unbin + device->host transfer at 1M+ agents over a tunnel) the stream
+    automatically degrades to a lower frame rate instead of saturating
+    the host core the sim loop needs."""
 
     def __init__(self, fetch: Callable[[], tuple[np.ndarray, np.ndarray]],
                  on_frame: Callable[[np.ndarray, np.ndarray], None],
-                 interval: float = 0.05) -> None:
+                 interval: float = 0.05, backoff: float = 3.0) -> None:
         self._fetch = fetch
         self._on_frame = on_frame
         self._interval = interval
+        self._backoff = backoff
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
 
@@ -163,12 +170,18 @@ class SnapshotStream:
         self._thread.join(timeout=2.0)
 
     def _run(self) -> None:
-        while not self._stop.wait(self._interval):
+        import time as _time
+
+        wait = self._interval
+        while not self._stop.wait(wait):
+            t0 = _time.perf_counter()
             try:
                 pos, dest = self._fetch()
             except Exception:
                 continue
             self._on_frame(pos, dest)
+            wait = max(self._interval,
+                       self._backoff * (_time.perf_counter() - t0))
 
 
 def save_frame(scenario: Scenario, pos: np.ndarray, dest: np.ndarray,

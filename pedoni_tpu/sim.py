@@ -94,6 +94,8 @@ class Simulator:
 
         if options.n_devices > 1 and options.backend != "grid":
             raise ValueError("--devices > 1 requires the grid backend")
+        options.resolve_tile()  # reject a tile that mismatches n_devices
+        #                         even when the sharded branch is skipped
         capacity = options.capacity or self._auto_capacity(scenario)
         self._build(capacity)
         self.state = self._from_flat_state(
@@ -113,7 +115,6 @@ class Simulator:
     def _build(self, capacity: int) -> None:
         o = self.options
         self._mesh = None
-        self._scfg = None
         self._tcfg = None
         self.cfg = StepConfig.build(
             self.scenario,
@@ -142,41 +143,21 @@ class Simulator:
                         f"--devices {o.n_devices} but only {len(devices)} "
                         "devices are visible"
                     )
+                # Row strips are the cols=1 case of the 2D tiling — one
+                # sharded step implementation serves both.
+                from .parallel import tile2d
+
                 rows, cols = o.resolve_tile()
-                if cols > 1:
-                    from .parallel import tile2d
-
-                    self._tcfg = tile2d.Tile2DConfig.build(
-                        self.cfg, rows, cols, row_block=o.row_block)
-                    self._mesh = tile2d.make_mesh(self._tcfg, devices)
-                    self._field_rows, self._obstacles = \
-                        tile2d.device_inputs_on_mesh(
-                            self._tcfg, self._mesh, self.maps)
-                    self._step = jax.jit(
-                        tile2d.make_sharded_step(self._tcfg, self._mesh))
-                else:
-                    import numpy as _np
-                    from jax.sharding import Mesh, NamedSharding, PartitionSpec
-
-                    from .parallel import grid_shard
-
-                    self._mesh = Mesh(_np.array(devices[: o.n_devices]),
-                                      (grid_shard.AXIS,))
-                    self._scfg = grid_shard.GridShardConfig.build(
-                        self.cfg, o.n_devices, row_block=o.row_block)
-                    wp, obs = grid_shard.shard_device_inputs(self._scfg,
-                                                             self.maps)
-                    sh = NamedSharding(self._mesh,
-                                       PartitionSpec(grid_shard.AXIS))
-                    import jax.numpy as jnp
-
-                    self._field_rows = jax.device_put(jnp.asarray(wp), sh)
-                    self._obstacles = jax.device_put(jnp.asarray(obs), sh)
-                    self._step = jax.jit(
-                        grid_shard.make_sharded_step(self._scfg, self._mesh))
+                self._tcfg = tile2d.Tile2DConfig.build(
+                    self.cfg, rows, cols, row_block=o.row_block)
+                self._mesh = tile2d.make_mesh(self._tcfg, devices)
+                self._field_rows, self._obstacles = \
+                    tile2d.device_inputs_on_mesh(
+                        self._tcfg, self._mesh, self.maps)
+                self._step = jax.jit(
+                    tile2d.make_sharded_step(self._tcfg, self._mesh))
             else:
                 self._mesh = None
-                self._scfg = None
                 fwp, fobs = sfm_pallas.pallas_device_inputs(
                     self.cfg, self.maps, row_block=o.row_block)
                 self._field_rows = fwp  # first step arg
@@ -277,14 +258,11 @@ class Simulator:
         format."""
         if self.options.backend == "grid":
             from .models import sfm_grid
-            from .parallel import grid_shard
 
             if self._tcfg is not None:
                 from .parallel import tile2d
 
                 return tile2d.unbin_sharded(self._tcfg, self.state)
-            if self._scfg is not None:
-                return grid_shard.unbin_sharded(self._scfg, self.state)
             return sfm_grid.unbin_state(self.cfg, self.state,
                                         row_block=self.options.row_block)
         return self.state
@@ -294,16 +272,12 @@ class Simulator:
         checkpoints restore across backends AND device counts."""
         if self.options.backend == "grid":
             from .models import sfm_grid
-            from .parallel import grid_shard
 
             if self._tcfg is not None:
                 from .parallel import tile2d
 
                 return tile2d.make_sharded_grid_state(
                     self._tcfg, self._mesh, state)
-            if self._scfg is not None:
-                return grid_shard.make_sharded_grid_state(
-                    self._scfg, self._mesh, state)
             return sfm_grid.bin_state(self.cfg, state,
                                       row_block=self.options.row_block)
         return state

@@ -12,8 +12,8 @@ reference's sim-thread/render-thread split, main.rs:20-26, 94-96 — here a
 ``SnapshotStream`` keeps the latest device snapshot warm and HTTP threads
 only ever read that cache).
 
-Wire format of ``/state`` (binary, little-endian): two u32 (step, n)
-followed by ``x f32[n]``, ``y f32[n]``, ``dest u8[n]``.  Above
+Wire format of ``/state`` (binary, little-endian): three u32 (step, n,
+total) followed by ``x f32[n]``, ``y f32[n]``, ``dest u8[n]``.  Above
 ``max_agents`` the snapshot is strided down — a browser canvas does not
 need all 1M points to show crowd structure.
 """
@@ -163,26 +163,33 @@ class WebViewer:
     """Serve the live view; camera and pause live in the browser.
 
     ``fetch`` returns (pos [n,2] f32, dest [n] int) for active agents —
-    it is called from a background ``SnapshotStream``-style thread, never
-    from HTTP handler threads, so a slow device fetch can never pile up
-    requests against the runtime.  ``paused`` is polled by the sim loop
-    (the browser's Space key is the reference's pause toggle,
+    it is called from a background ``SnapshotStream`` (renderer.py),
+    never from HTTP handler threads, so a slow device fetch can never
+    pile up requests against the runtime, and the stream's adaptive
+    pacing keeps an expensive fetch (1M-agent grid unbin over a tunnel)
+    from starving the sim loop's host core.  ``paused`` is polled by the
+    sim loop (the browser's Space key is the reference's pause toggle,
     renderer/mod.rs:121-136).
+
+    Binds 127.0.0.1 by default; pass ``host="0.0.0.0"`` explicitly to
+    expose the (unauthenticated) viewer beyond the local machine.
     """
 
     def __init__(self, scenario: Scenario,
                  fetch: Callable[[], tuple[np.ndarray, np.ndarray]],
                  port: int = 8000, max_agents: int = 250_000,
-                 interval: float = 0.05) -> None:
+                 interval: float = 0.05, host: str = "127.0.0.1") -> None:
+        from .renderer import SnapshotStream
+
         self.scenario = scenario
         self.paused = False
-        self._fetch = fetch
+        self._host = host
         self._max_agents = max_agents
-        self._interval = interval
         self._latest = self._pack(np.zeros((0, 2), np.float32),
                                   np.zeros((0,), np.int32), 0)
         self._step = 0
-        self._stop = threading.Event()
+        self._stream = SnapshotStream(fetch=fetch, on_frame=self._on_frame,
+                                      interval=interval)
         self._scene_json = json.dumps({
             "size": list(scenario.size),
             "obstacles": [{"p0": list(s.p0), "p1": list(s.p1),
@@ -234,12 +241,10 @@ class WebViewer:
                 else:
                     self.send_error(404)
 
-        self._server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        self._server = ThreadingHTTPServer((host, port), Handler)
         self.port = self._server.server_address[1]
-        self._threads = [
-            threading.Thread(target=self._server.serve_forever, daemon=True),
-            threading.Thread(target=self._poll, daemon=True),
-        ]
+        self._server_thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True)
 
     # -- snapshot plumbing --------------------------------------------------
     def _pack(self, pos: np.ndarray, dest: np.ndarray, step: int) -> bytes:
@@ -254,14 +259,9 @@ class WebViewer:
                 + (np.asarray(dest).astype(np.int64) % 256)
                   .astype(np.uint8).tobytes())
 
-    def _poll(self) -> None:
-        while not self._stop.wait(self._interval):
-            try:
-                pos, dest = self._fetch()
-            except Exception:  # device teardown race at shutdown
-                continue
-            self._latest = self._pack(np.asarray(pos), np.asarray(dest),
-                                      self._step)
+    def _on_frame(self, pos: np.ndarray, dest: np.ndarray) -> None:
+        self._latest = self._pack(np.asarray(pos), np.asarray(dest),
+                                  self._step)
 
     def set_step(self, step: int) -> None:
         """Advance the step counter shown in the HUD (sim loop calls this)."""
@@ -269,15 +269,20 @@ class WebViewer:
 
     # -- lifecycle ------------------------------------------------------------
     def start(self) -> "WebViewer":
-        for t in self._threads:
-            t.start()
+        self._server_thread.start()
+        self._stream.start()
         return self
 
     def stop(self) -> None:
-        self._stop.set()
+        self._stream.stop()
         self._server.shutdown()
         self._server.server_close()
 
     @property
     def url(self) -> str:
-        return f"http://localhost:{self.port}/"
+        host = self._host
+        if host == "0.0.0.0":
+            import socket
+
+            host = socket.gethostname()
+        return f"http://{host}:{self.port}/"

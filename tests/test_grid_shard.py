@@ -1,16 +1,16 @@
 """Row-strip sharded grid backend (parallel/grid_shard.py) vs single chip.
 
-Every block of the sharded step sees exactly the window a single chip
-would (ghost rows carry the neighbor strip's edge), so N-device results
-must match the single-chip grid backend to float-reduction tolerance,
-including spawns and cross-strip migration.
+Row strips are the cols=1 case of the 2D tiling (grid_shard delegates
+to parallel/tile2d.py).  Every block of the sharded step sees exactly
+the window a single chip would (ghost rows carry the neighbor strip's
+edge), so N-device results must match the single-chip grid backend to
+float-reduction tolerance, including spawns and cross-strip migration.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import Mesh
 
 from pedoni_tpu.field import Field, FieldMaps
 from pedoni_tpu.models import sfm_grid, sfm_pallas
@@ -78,13 +78,9 @@ def _run_single(maps, cfg, state0, n_steps):
 
 
 def _run_sharded(maps, cfg, state0, n_steps, n_dev):
-    mesh = Mesh(np.array(jax.devices()[:n_dev]), (grid_shard.AXIS,))
     scfg = grid_shard.GridShardConfig.build(cfg, n_dev)
-    wp, obs = grid_shard.shard_device_inputs(scfg, maps)
-    wp = jax.device_put(jnp.asarray(wp),
-                        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(grid_shard.AXIS)))
-    obs = jax.device_put(jnp.asarray(obs),
-                         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(grid_shard.AXIS)))
+    mesh = grid_shard.make_mesh(scfg)
+    wp, obs = grid_shard.device_inputs_on_mesh(scfg, mesh, maps)
     gs = grid_shard.make_sharded_grid_state(scfg, mesh, state0)
     step = jax.jit(grid_shard.make_sharded_step(scfg, mesh))
     for _ in range(n_steps):

@@ -69,7 +69,9 @@ def test_state_wire_format_and_subsampling(viewer):
     while time.time() < deadline:
         buf = _get(v, "/state")
         step, n, total = struct.unpack_from("<III", buf, 0)
-        if total:
+        # wait for a frame packed AFTER set_step(42) — the stream's first
+        # frame can race the fixture's set_step call
+        if total and step == 42:
             break
         time.sleep(0.02)
     assert step == 42
