@@ -122,7 +122,13 @@ def make_simulator(args: argparse.Namespace):
             raise SystemExit(
                 f"--tile {r}x{c} does not cover --devices {n_devices}")
     if n_devices > 1 and model_backend != "grid":
-        model_backend = "grid"  # sharding runs on the grid backend
+        if args.backend != "auto":
+            # an explicitly requested non-grid backend cannot shard — the
+            # library treats this as an error (sim.py); don't mask it
+            raise SystemExit(
+                f"--devices {n_devices} requires the grid backend; "
+                f"drop '-b {args.backend}' or pass '-b grid'")
+        model_backend = "grid"  # auto: sharding runs on the grid backend
         if neighbor_unit == 1.4:
             neighbor_unit = 1.5
     options = SimulatorOptions(

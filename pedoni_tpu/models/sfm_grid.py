@@ -99,14 +99,25 @@ def bin_state(cfg: StepConfig, sim: SimState, row_block: int = 2) -> GridState:
     return GridState(d=dk, key=sim.key, step=sim.step)
 
 
-def unbin_state(cfg: StepConfig, gs: GridState, row_block: int = 2) -> SimState:
+def unbin_state(cfg: StepConfig, gs: GridState, row_block: int = 2,
+                n_out: int | None = None) -> SimState:
     """Grid -> flat agent arrays (for checkpoint / render / diagnostics).
 
-    Active agents compact to the front; truncates to cfg.capacity."""
+    Active agents compact to the front.  ``n_out`` sizes the flat arrays;
+    by default it is cfg.capacity grown (in power-of-two steps) to hold
+    the live population — the grid has no flat-capacity limit of its own,
+    so a checkpoint/render round trip must never truncate actives.  Runs
+    eagerly (off the hot path); the population fetch is a device sync.
+    """
     dims = GridDims.build(cfg, row_block)
     rows = jnp.transpose(gs.d, (0, 1, 3, 2)).reshape(-1, 8)  # [slots, 8]
     act = rows[:, 6] > 0.5
-    order = jnp.argsort(~act, stable=True)[: cfg.capacity]
+    if n_out is None:
+        n_out = cfg.capacity
+        n_live = int(jnp.sum(act))
+        while n_out < n_live:
+            n_out *= 2
+    order = jnp.argsort(~act, stable=True)[:n_out]
     sel = jnp.take(rows, order, axis=0, mode="clip")
     agents = AgentState(
         pos=sel[:, 0:2],
@@ -206,6 +217,24 @@ def spawn_scatter(cfg: StepConfig, d: jnp.ndarray, key: jnp.ndarray,
     return df[:-1].reshape(d.shape), n_spawned, n_drop
 
 
+def occupancy_bound(d_pad: jnp.ndarray, rb: int, nb: int, k: int) -> jnp.ndarray:
+    """Per-block occupancy bound from the count channel: max occupied
+    slots of any cell in each block's (rb+2)-row window.  Shared by the
+    single-chip step and the tiled step (parallel/tile2d.py)."""
+    rowmax = jnp.max(d_pad[:, 0, 7, :], axis=-1)
+    w = jnp.stack([rowmax[off::rb][:nb] for off in range(rb + 2)])
+    return jnp.minimum(jnp.max(w, axis=0), float(k)).astype(jnp.int32)
+
+
+def assert_movement_fits_rebin(cfg: StepConfig) -> None:
+    """Movement must stay under one cell per step for the 3x3 rebin
+    window (and the one-ghost-row/lane exchange of the sharded paths)."""
+    phys = cfg.physics
+    max_step = phys.max_speed_factor * (phys.speed_mean + 8 * phys.speed_std) \
+        * phys.delta_time
+    assert max_step < cfg.grid.unit, (max_step, cfg.grid.unit)
+
+
 def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
     """Build the grid-resident step:
     (GridState, fwp, fobs) -> (GridState, StepMetrics)."""
@@ -224,18 +253,10 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
     nb = ny_pad // rb
     interpret = jax.default_backend() != "tpu"
     s = cfg.spawn.total
-
-    # Movement must stay under one cell per step for the 3x3 rebin window.
-    max_step = phys.max_speed_factor * (phys.speed_mean + 8 * phys.speed_std) \
-        * phys.delta_time
-    assert max_step < grid.unit, (max_step, grid.unit)
+    assert_movement_fits_rebin(cfg)
 
     def _jmax(d: jnp.ndarray) -> jnp.ndarray:
-        """Per-block occupancy bound from the count channel: max occupied
-        slots of any cell in each block's (rb+2)-row window."""
-        rowmax = jnp.max(d[:, 0, 7, :], axis=-1)  # [ny_pad+2]
-        w = jnp.stack([rowmax[off::rb][:nb] for off in range(rb + 2)])
-        return jnp.minimum(jnp.max(w, axis=0), float(k)).astype(jnp.int32)
+        return occupancy_bound(d, rb, nb, k)
 
     def step(state: GridState, fwp: jnp.ndarray, fobs: jnp.ndarray
              ) -> tuple[GridState, StepMetrics]:

@@ -39,14 +39,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _shift_lane(arr, delta: int):
-    """result[..., l] = arr[..., l + delta] (circular; wrapped lanes are
-    killed by the landing mask — a wrapped candidate's target lane is at
-    the far side of the grid)."""
-    if delta == 0:
-        return arr
-    return pltpu.roll(arr, shift=(-delta) % arr.shape[-1], axis=arr.ndim - 1)
+# Circular lane shift shared with the force kernel; here wrapped lanes
+# are killed by the landing mask (a wrapped candidate's target lane is
+# at the far side of the grid).
+from .step_kernel import _shift_lane
 
 
 def _kernel(jmax_ref, roff_ref, coff_ref, g_hbm, out_ref, window, sem, *,

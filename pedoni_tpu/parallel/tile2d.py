@@ -42,7 +42,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..field import FieldMaps
 from ..models.sfm import SimState, StepConfig, StepMetrics
-from ..models.sfm_grid import GridState, bin_state, spawn_scatter, unbin_state
+from ..models.sfm_grid import (
+    GridState,
+    assert_movement_fits_rebin,
+    bin_state,
+    occupancy_bound,
+    spawn_scatter,
+    unbin_state,
+)
 from ..models.sfm_pallas import stride_for, supports
 from ..ops.pallas.fields6 import ROW0, Fields6
 from ..ops.pallas.rebin import rebin_kernel
@@ -75,9 +82,10 @@ class Tile2DConfig:
     @classmethod
     def build(cls, cfg: StepConfig, rows: int, cols: int,
               row_block: int = 2) -> "Tile2DConfig":
-        if not supports(cfg):
+        if not supports(cfg, row_block):
             raise ValueError("2D tile sharding inherits the grid backend's "
                              "scenario limits (see sfm_pallas.supports)")
+        assert_movement_fits_rebin(cfg)
         rb = row_block
         rl = -(-cfg.grid.ny // (rb * rows)) * rb
         cl = -(-cfg.grid.nx // cols)
@@ -214,9 +222,7 @@ def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh):
         return exchange_rows(exchange_cols(x))
 
     def _jmax(d_pad):
-        rowmax = jnp.max(d_pad[:, 0, 7, :], axis=-1)  # [rl+2]
-        w = jnp.stack([rowmax[off::rb][:nb] for off in range(rb + 2)])
-        return jnp.minimum(jnp.max(w, axis=0), float(k)).astype(jnp.int32)
+        return occupancy_bound(d_pad, rb, nb, k)
 
     def step_local(d_loc, k_spawn, wp_slab, obs_slab):
         # d_loc [rl, K, 8, NXL_loc]; slabs carry leading axes of (1, 1).

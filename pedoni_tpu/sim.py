@@ -130,7 +130,7 @@ class Simulator:
         if o.backend in ("pallas", "grid"):
             from .models import sfm_grid, sfm_pallas
 
-            if not sfm_pallas.supports(self.cfg):
+            if not sfm_pallas.supports(self.cfg, o.row_block):
                 raise ValueError(
                     f"{o.backend} backend requires an integral neighbor/"
                     "field unit ratio and waypoint planes fitting VMEM; "
@@ -199,7 +199,15 @@ class Simulator:
 
         n_dropped = int(metrics.n_dropped)
         if n_dropped > 0:
-            log.warning("step %d: %d agents dropped at capacity", self.step_count, n_dropped)
+            if self.options.backend == "grid":
+                # grid n_dropped = agents that left the field (the
+                # reference's silent neighbor_grid.rs:29 drop) + spawn
+                # candidates landing in full cells — not a capacity issue
+                log.warning("step %d: %d agents left the field or "
+                            "spawn-dropped", self.step_count, n_dropped)
+            else:
+                log.warning("step %d: %d agents dropped at capacity",
+                            self.step_count, n_dropped)
         if self.options.backend == "grid":
             if int(metrics.n_overflow) > 0:
                 self._grow_table(int(metrics.n_overflow))

@@ -178,6 +178,25 @@ def test_bin_unbin_roundtrip():
     np.testing.assert_allclose(b, a, rtol=0, atol=0)
 
 
+def test_unbin_grows_past_flat_capacity():
+    """The grid has no flat-capacity limit; when the live population
+    exceeds cfg.capacity (possible under sustained spawning), the
+    checkpoint/render round trip must grow the flat arrays instead of
+    silently truncating actives."""
+    import dataclasses
+
+    _, _, cfg, state = _setup(SCENARIO, n=512)  # every slot active
+    gs = sfm_grid.bin_state(cfg, state)
+    # a few agents can be lost AT BIN time (cell overflow, K=10) — the
+    # invariant under test is grid -> flat, so count what the grid holds
+    n_live = int(np.asarray(jnp.sum(gs.d[:, :, 6, :])))
+    assert n_live > 64  # the population genuinely exceeds the capacity
+    small = dataclasses.replace(cfg, capacity=64)
+    back = sfm_grid.unbin_state(small, gs)
+    assert int(np.asarray(back.agents.active).sum()) == n_live
+    assert back.agents.pos.shape[0] >= n_live
+
+
 def test_grid_overflow_reported():
     """A cell receiving more than K agents in one step drops the excess
     and reports it in n_overflow (the flat path freezes instead; the grid
