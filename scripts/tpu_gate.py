@@ -103,8 +103,55 @@ width = 1
               file=sys.stderr)
         return 1
 
+    # Offset (sharded-slab) Mosaic path: run the fused kernel on a
+    # column-tile slab with a nonzero col_offset and a lane-sliced field
+    # slab — the code path parallel/tile2d.py uses per device — and check
+    # it reproduces the full-width kernel on the owned lanes.  Runs on
+    # one chip: the exchange is done host-side, only the kernels matter.
+    try:
+        from pedoni_tpu.ops.pallas.step_kernel import fused_step_kernel
+        from pedoni_tpu.parallel import tile2d
+
+        tcfg = tile2d.Tile2DConfig.build(cfg, 1, 2)
+        wp_t, obs_t = tile2d.shard_device_inputs(tcfg, maps)  # [1, 2, ...]
+        cl, nxl = tcfg.cols_local, tcfg.nxl_local
+        k = cfg.table_capacity
+        dfull = np.asarray(sfm_grid.bin_state(cfg, state0).d)
+        nb = (dfull.shape[0] - 2) // 2
+        g_full = np.asarray(fused_step_kernel(
+            jnp.asarray(dfull), fwp, fobs, cfg.physics, sc.size,
+            row_block=2, stride=sfm_pallas.stride_for(cfg),
+            field_unit=cfg.field_unit))
+        max_err = 0.0
+        for c in range(2):
+            slab = np.zeros(dfull.shape[:3] + (nxl,), np.float32)
+            n_own = min(cl, cfg.grid.nx - c * cl)
+            # owned lanes + host-side ghost-lane "exchange" from the
+            # full grid (the values ppermute would deliver)
+            lo = c * cl
+            src = dfull[..., lo : lo + n_own + 2]
+            slab[..., : src.shape[-1]] = src
+            g = np.asarray(fused_step_kernel(
+                jnp.asarray(slab), jnp.asarray(wp_t[0, c]),
+                jnp.asarray(obs_t[0, c]), cfg.physics, sc.size,
+                row_block=2, stride=sfm_pallas.stride_for(cfg),
+                field_unit=cfg.field_unit,
+                col_offset=jnp.asarray([lo], jnp.int32)))
+            want = g_full[..., lo + 1 : lo + 1 + n_own]
+            got = g[..., 1 : 1 + n_own]
+            max_err = max(max_err, float(np.abs(got - want).max()))
+        if max_err > 1e-3:
+            print(f"FATAL: offset-slab kernel mismatch vs full-width "
+                  f"kernel (max err {max_err:.2e})", file=sys.stderr)
+            return 1
+    except Exception as e:
+        print(f"FATAL: offset-slab Mosaic compile/run FAILED: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+        return 1
+
     print(f"tpu_gate OK: Mosaic kernels compiled and ran, {n_active} active, "
-          "physics matches the XLA step")
+          "physics matches the XLA step; offset-slab path max err "
+          f"{max_err:.1e}")
     return 0
 
 

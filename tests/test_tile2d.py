@@ -92,7 +92,16 @@ def _run_tiled(maps, cfg, state0, n_steps, rows, cols):
 
 @pytest.mark.parametrize(
     "rows,cols",
-    [(1, 2), pytest.param(2, 2, marks=pytest.mark.slow)],
+    [
+        (1, 2),
+        pytest.param(2, 2, marks=pytest.mark.slow),
+        # uneven division: nx=12 over 5 column tiles -> tiles own
+        # 3,3,3,3,0 cells (partial ownership + one fully empty device)
+        (1, 5),
+        # uneven rows: ny=8 over 3 row strips of 4 -> strips own
+        # 4,4,0 rows (an entirely empty trailing strip)
+        pytest.param(3, 2, marks=pytest.mark.slow),
+    ],
 )
 def test_tiled_equals_single_chip(rows, cols):
     maps, cfg, state0 = _setup()
