@@ -130,6 +130,15 @@ class Simulator:
         if o.backend in ("pallas", "grid"):
             from .models import sfm_grid, sfm_pallas
 
+            if not (o.use_neighbor_grid and o.use_distance_map):
+                # The fused kernels bake in the cell grid and the
+                # distance-map obstacle force; the all-pairs and
+                # per-segment debug modes (args.rs:27-31) run on the XLA
+                # backend only — fail loudly instead of ignoring flags.
+                raise ValueError(
+                    "--no-neighbor-grid / --no-distance-map require the "
+                    "xla backend (the fused kernels bake both in)"
+                )
             if not sfm_pallas.supports(self.cfg, o.row_block):
                 raise ValueError(
                     f"{o.backend} backend requires an integral neighbor/"

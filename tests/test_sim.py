@@ -149,3 +149,14 @@ def test_metrics_counts_finite():
     rec = sim.tick()
     assert rec.active_ped_count >= 0
     assert rec.time_calc_state > 0.0
+
+
+def test_fused_backends_reject_debug_modes():
+    """--no-neighbor-grid / --no-distance-map are XLA-only debug modes
+    (args.rs:27-31); the fused kernels bake both structures in and must
+    refuse loudly rather than silently ignore the flags."""
+    import pytest
+
+    for opts in ({"use_neighbor_grid": False}, {"use_distance_map": False}):
+        with pytest.raises(ValueError, match="xla backend"):
+            make_sim(STRAIGHT, backend="grid", **opts)
