@@ -43,6 +43,35 @@ def test_gap_evacuation_band(backend):
         )
 
 
+SSHAPE = pathlib.Path("/root/reference/scenarios/s-shape.toml")
+
+
+@pytest.mark.slow
+def test_sshape_growth_curve():
+    """Reference s-shape.toml (100 m S-corridor, 6/s combined inflow):
+    population at step 1000 gates the seeded spawn rates (≈ 600, nobody
+    has finished the ~190 m path yet); population at step 1500 gates the
+    transit time through both S-turns (first arrivals around step 1400:
+    measured 873/887 for seeds 1/2 — slower physics pushes it to ~900+,
+    jams collapse it well below)."""
+    if not SSHAPE.exists():
+        pytest.skip("reference scenarios not available")
+    sim = Simulator(SimulatorOptions(seed=1), load_scenario(SSHAPE))
+    marks = {}
+    for i in range(1, 1501):
+        rec = sim.tick()
+        if i in (1000, 1500):
+            marks[i] = rec.active_ped_count
+    assert 520 <= marks[1000] <= 680, (
+        f"population {marks[1000]} at step 1000 outside the spawn band "
+        "(6/s x 100 s ≈ 600)"
+    )
+    assert 790 <= marks[1500] <= 930, (
+        f"population {marks[1500]} at step 1500 outside the transit band "
+        "(measured 873±; arrivals must have started, jams must not)"
+    )
+
+
 @pytest.mark.slow
 def test_lanes_steady_state():
     if not LANES.exists():
