@@ -108,6 +108,20 @@ def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref,
     cw.wait()
     co.wait()
 
+    # Fault containment: a non-finite pos/vel (corrupt checkpoint, any
+    # upstream bug) would otherwise POISON every neighbor through the
+    # pair pass — 0 * NaN = NaN in the masked accumulate — and cascade
+    # one cell per step until the whole field is NaN.  Replacing bad
+    # values with a huge FINITE sentinel keeps all downstream math
+    # finite: the agent exerts zero force (beyond cutoff), samples zero
+    # potential, despawns this very step, and is counted in n_dropped.
+    # ~16 vector ops per block: noise against the pair pass.
+    for w in range(rb + 2):
+        for ch in range(4):  # pos.x, pos.y, vel.x, vel.y
+            v = window[w, :, ch, :]
+            window[w, :, ch, :] = jnp.where(
+                jnp.abs(v) < jnp.float32(2.0**30), v, jnp.float32(2.0**30))
+
     nxl = window.shape[-1]
     # Global cell row/column offsets of this block: nonzero under spatial
     # sharding (parallel/grid_shard.py rows; parallel/tile2d.py rows x

@@ -178,6 +178,43 @@ def test_bin_unbin_roundtrip():
     np.testing.assert_allclose(b, a, rtol=0, atol=0)
 
 
+def test_nonfinite_agent_is_contained():
+    """Fault containment: a NaN-position agent (corrupt checkpoint, any
+    upstream bug) must exert ZERO force on neighbors, despawn the same
+    step, and be counted — NOT poison the neighborhood through 0*NaN in
+    the pair accumulate (which would cascade one cell per step)."""
+    sc, maps, cfg, state0 = _setup(SCENARIO)
+    fwp, fobs = map(jnp.asarray, sfm_pallas.pallas_device_inputs(cfg, maps))
+    step = jax.jit(sfm_grid.make_step_grid(cfg, maps))
+
+    # Poison one occupied grid slot IN PLACE (bin_state would drop a NaN
+    # position before it reached the kernels): run A gets NaN pos there,
+    # run B gets the same slot deactivated — the ground truth.
+    g0 = sfm_grid.bin_state(cfg, state0)
+    d = np.asarray(g0.d)
+    r, kslot, lane = map(int, next(zip(*np.where(d[:, :, 6, :] > 0.5))))
+    da = d.copy()
+    da[r, kslot, 0, lane] = np.nan
+    da[r, kslot, 1, lane] = np.nan
+    db = d.copy()
+    db[r, kslot, 6, lane] = 0.0
+    ga = g0._replace(d=jnp.asarray(da))
+    gb = g0._replace(d=jnp.asarray(db))
+
+    for _ in range(3):
+        ga, ma = step(ga, fwp, fobs)
+        gb, mb = step(gb, fwp, fobs)
+
+    fa = sfm_grid.unbin_state(cfg, ga)
+    fb = sfm_grid.unbin_state(cfg, gb)
+    pa = np.asarray(fa.agents.pos)[np.asarray(fa.agents.active)]
+    assert np.isfinite(pa).all(), "NaN escaped containment"
+    assert int(ma.n_active) == int(mb.n_active)
+    # survivors evolve exactly as if the poisoned agent never existed
+    np.testing.assert_allclose(_active_set(fa.agents), _active_set(fb.agents),
+                               rtol=0, atol=0)
+
+
 def test_unbin_grows_past_flat_capacity():
     """The grid has no flat-capacity limit; when the live population
     exceeds cfg.capacity (possible under sustained spawning), the
