@@ -333,9 +333,17 @@ def make_step(cfg: StepConfig, maps: FieldMaps):
         # channels ride in ONE packed [*, 12] array so the permutation is a
         # single row gather.
         order = jnp.argsort(cid, stable=True)
+        # Fault containment: a non-finite VELOCITY would poison the whole
+        # 3x3 neighborhood through 0*NaN in the masked pair accumulate
+        # (non-finite positions are already dead here: NaN fails the
+        # despawn compare, inf fails the cell-id bound).  A huge finite
+        # sentinel keeps the pair math finite — zero force (ellipse far
+        # beyond cutoff), and the agent flings itself out of the grid on
+        # integration, despawning counted next step.
+        vel_f = jnp.where(jnp.abs(ext.vel) < 2.0**30, ext.vel, 2.0**30)
         packed = jnp.concatenate(
             [
-                ext.pos, ext.vel, ext.speed[:, None],
+                ext.pos, vel_f, ext.speed[:, None],
                 ext.dest.astype(jnp.float32)[:, None],
                 alive.astype(jnp.float32)[:, None],
                 e, fs.obs_dist[:, None], fs.obs_grad,

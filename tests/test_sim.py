@@ -160,3 +160,24 @@ def test_fused_backends_reject_debug_modes():
     for opts in ({"use_neighbor_grid": False}, {"use_distance_map": False}):
         with pytest.raises(ValueError, match="xla backend"):
             make_sim(STRAIGHT, backend="grid", **opts)
+
+
+def test_xla_nonfinite_velocity_contained():
+    """XLA-backend fault containment: a NaN-velocity agent exerts zero
+    force, flings out of the grid on integration and despawns counted —
+    it must not NaN-poison its 3x3 neighborhood through the dense pass."""
+    import jax.numpy as jnp
+
+    sim = make_sim(NARROW_GAP, seed=11)  # 30 once-spawned, no inflow
+    a = sim.state.agents
+    vel = np.asarray(a.vel).copy()
+    act = np.asarray(a.active)
+    idx = int(np.flatnonzero(act)[0])
+    vel[idx] = (np.nan, np.nan)
+    sim.state = sim.state._replace(agents=a._replace(vel=jnp.asarray(vel)))
+    n0 = int(act.sum())
+    for _ in range(3):
+        rec = sim.tick()
+    pos, _ = sim.list_pedestrians()
+    assert np.isfinite(pos).all(), "NaN escaped containment on the xla path"
+    assert rec.active_ped_count == n0 - 1  # only the poisoned agent died
