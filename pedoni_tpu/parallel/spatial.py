@@ -400,6 +400,10 @@ def dryrun(n_devices: int) -> None:
         env.pop("PALLAS_AXON_POOL_IPS", None)  # disable the TPU plugin hook
         pkg_root = str(pathlib.Path(__file__).resolve().parents[2])
         env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+        env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       str(pathlib.Path(pkg_root) / ".jax_cache"))
+        env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+        env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
         code = (
             "from pedoni_tpu.parallel.spatial import dryrun; "
             f"dryrun({n_devices})"

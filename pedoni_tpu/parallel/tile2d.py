@@ -322,6 +322,13 @@ def dryrun(rows: int, cols: int) -> None:
         env.pop("PALLAS_AXON_POOL_IPS", None)
         pkg_root = str(pathlib.Path(__file__).resolve().parents[2])
         env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+        # Persistent compile cache (same one the test conftest uses):
+        # interpret-mode kernel compiles dominate the dryrun wall clock,
+        # and repeated driver invocations should be near-instant.
+        env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       str(pathlib.Path(pkg_root) / ".jax_cache"))
+        env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+        env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
         code = (
             "from pedoni_tpu.parallel.tile2d import dryrun; "
             f"dryrun({rows}, {cols})"
