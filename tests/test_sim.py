@@ -181,3 +181,15 @@ def test_xla_nonfinite_velocity_contained():
     pos, _ = sim.list_pedestrians()
     assert np.isfinite(pos).all(), "NaN escaped containment on the xla path"
     assert rec.active_ped_count == n0 - 1  # only the poisoned agent died
+
+
+def test_run_throughput_mode():
+    """Simulator.run advances N steps without per-step host syncs and
+    returns the final step's record (bench-style throughput surface)."""
+    sim = make_sim(NARROW_GAP, seed=4)
+    rec = sim.run(25, sync_every=5)
+    assert sim.step_count == 25
+    assert rec.active_ped_count > 0
+    assert rec.time_calc_state > 0
+    pos, _ = sim.list_pedestrians()
+    assert np.isfinite(pos).all()
