@@ -70,20 +70,34 @@ def _sample_row(fwin, base_row: int, q0, p0, tx, ty, channels=(0, 1, 2),
     neighboring tap, and taps just outside the field hold the 1e12
     out-of-bounds clamp (util.rs:44-58) — a catastrophic ~1e5 potential
     error next to obstacle rings.
+
+    Separable two-pass structure: per-axis weights are computed ONCE
+    (8 + 8 instead of per-(qy,qx) — the wx recompute used to cost 64x5
+    ops per row-plane), then the x-pass accumulates wx-weighted reads
+    per patch row and the y-pass folds the rows with wy.  Algebraically
+    identical to the flat tap sum (weights stay exact zeros off the
+    bilinear support); f32 grouping differs by <= 2 ulp.
     """
+    extent = patch_extent(stride)
+    wxs = [
+        jnp.where(p0 == qx, 1.0 - tx, 0.0) + jnp.where(p0 == qx - 1, tx, 0.0)
+        for qx in range(extent)
+    ]
     out = {ci: None for ci in channels}
-    for qy in range(patch_extent(stride)):
+    for qy in range(extent):
         wy = jnp.where(q0 == qy, 1.0 - ty, 0.0) + jnp.where(q0 == qy - 1, ty, 0.0)
-        for qx in range(patch_extent(stride)):
-            wx = jnp.where(p0 == qx, 1.0 - tx, 0.0) + jnp.where(p0 == qx - 1, tx, 0.0)
-            w = wy * wx
+        gx = {ci: None for ci in channels}
+        for qx in range(extent):
             c = (ROW0 + qx) % stride
             dlt = (ROW0 + qx) // stride
             for ci in channels:
                 # keep reads 2D ([1, NXL]); Mosaic rejects 1D vectors
                 val = _shift_lane(fwin[base_row + qy, c, ci : ci + 1, :], dlt)
-                term = w * val
-                out[ci] = term if out[ci] is None else out[ci] + term
+                term = wxs[qx] * val
+                gx[ci] = term if gx[ci] is None else gx[ci] + term
+        for ci in channels:
+            term = wy * gx[ci]
+            out[ci] = term if out[ci] is None else out[ci] + term
     return [out[ci] for ci in channels]
 
 
