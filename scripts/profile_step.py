@@ -60,15 +60,17 @@ def main() -> int:
     nb = dims.ny_pad // dims.rb
     jmax14 = jnp.full((nb,), dims.k, jnp.int32)
 
-    # full production step, chained
-    full = jax.jit(lambda s: step(s)[0])
+    # full production step, chained.  NOTE: use bench's step as-is — it
+    # is already jitted with the field maps as ARGUMENTS; wrapping it in
+    # another jit would re-trace them as closure CONSTANTS and blow the
+    # remote-compile request size at large agent counts (CLAUDE.md).
     s = state
     for _ in range(5):
-        s = full(s)
+        s, _m = step(s)
     float(jnp.sum(s.d[0, 0, 0, :8]))
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        s = full(s)
+        s, _m = step(s)
     float(jnp.sum(s.d[0, 0, 0, :8]))
     print(f"full step:        "
           f"{(time.perf_counter() - t0) / args.steps * 1000:7.2f} ms")
