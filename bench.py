@@ -129,7 +129,18 @@ def main() -> int:
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
+    import pathlib
+
     import jax
+
+    # Persistent compile cache (shared with the test suite's): the build
+    # phase is dominated by (remote) kernel compiles, which under tunnel
+    # congestion have been measured at 6+ minutes — a warm cache keeps
+    # the whole bench comfortably inside the driver's time budget.
+    jax.config.update("jax_compilation_cache_dir",
+                      str(pathlib.Path(__file__).resolve().parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     t0 = time.perf_counter()
     fallback_chain = {"grid": "pallas", "pallas": "xla"}
