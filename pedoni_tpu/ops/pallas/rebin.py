@@ -78,6 +78,9 @@ def _kernel(jmax_ref, roff_ref, coff_ref, g_hbm, out_ref, window, sem, *,
     # is paid per candidate slot, not per (dy, slot).  Compaction order is
     # (j, dy, dx); any fixed order is valid (bins are sets — the flat path
     # orders by agent index, tests compare position sets).
+    # No non-finite guard needed here: the step kernel sanitizes its
+    # window (see step_kernel._kernel), so every value this kernel reads
+    # is finite by construction.
     def body(j, carry):
         cnt, *outs = carry
         for dy in (-1, 0, 1):

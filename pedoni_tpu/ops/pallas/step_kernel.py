@@ -71,33 +71,26 @@ def _sample_row(fwin, base_row: int, q0, p0, tx, ty, channels=(0, 1, 2),
     out-of-bounds clamp (util.rs:44-58) — a catastrophic ~1e5 potential
     error next to obstacle rings.
 
-    Separable two-pass structure: per-axis weights are computed ONCE
-    (8 + 8 instead of per-(qy,qx) — the wx recompute used to cost 64x5
-    ops per row-plane), then the x-pass accumulates wx-weighted reads
-    per patch row and the y-pass folds the rows with wy.  Algebraically
-    identical to the flat tap sum (weights stay exact zeros off the
-    bilinear support); f32 grouping differs by <= 2 ulp.
+    The flat tap loop is also deliberate: a separable two-pass rewrite
+    (per-axis weights computed once, x-pass then y-fold) cuts ~35% of
+    the nominal ops but MEASURED 2.4 ms/step SLOWER at 1M agents — the
+    8 live wx arrays + per-channel row accumulators blow the register
+    budget and Mosaic's schedule degrades.  Op counting is not a cost
+    model on this VPU; see PLAN.md.
     """
-    extent = patch_extent(stride)
-    wxs = [
-        jnp.where(p0 == qx, 1.0 - tx, 0.0) + jnp.where(p0 == qx - 1, tx, 0.0)
-        for qx in range(extent)
-    ]
     out = {ci: None for ci in channels}
-    for qy in range(extent):
+    for qy in range(patch_extent(stride)):
         wy = jnp.where(q0 == qy, 1.0 - ty, 0.0) + jnp.where(q0 == qy - 1, ty, 0.0)
-        gx = {ci: None for ci in channels}
-        for qx in range(extent):
+        for qx in range(patch_extent(stride)):
+            wx = jnp.where(p0 == qx, 1.0 - tx, 0.0) + jnp.where(p0 == qx - 1, tx, 0.0)
+            w = wy * wx
             c = (ROW0 + qx) % stride
             dlt = (ROW0 + qx) // stride
             for ci in channels:
                 # keep reads 2D ([1, NXL]); Mosaic rejects 1D vectors
                 val = _shift_lane(fwin[base_row + qy, c, ci : ci + 1, :], dlt)
-                term = wxs[qx] * val
-                gx[ci] = term if gx[ci] is None else gx[ci] + term
-        for ci in channels:
-            term = wy * gx[ci]
-            out[ci] = term if out[ci] is None else out[ci] + term
+                term = w * val
+                out[ci] = term if out[ci] is None else out[ci] + term
     return [out[ci] for ci in channels]
 
 
@@ -126,10 +119,13 @@ def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref,
     # upstream bug) would otherwise POISON every neighbor through the
     # pair pass — 0 * NaN = NaN in the masked accumulate — and cascade
     # one cell per step until the whole field is NaN.  Replacing bad
-    # values with a huge FINITE sentinel keeps all downstream math
-    # finite: the agent exerts zero force (beyond cutoff), samples zero
-    # potential, despawns this very step, and is counted in n_dropped.
-    # ~16 vector ops per block: noise against the pair pass.
+    # values with a huge FINITE sentinel at the window keeps everything
+    # downstream finite: the agent exerts zero force (beyond cutoff),
+    # samples zero potential, despawns this step, and is counted — and
+    # kernel outputs are then always finite, so the rebin needs no
+    # sanitizing of its own.  Measured 0.6 ms/step at 1M; doing this
+    # per-candidate-slice instead fuses the select into the broadcast
+    # consumers at full [rb, K, NXL] width and costs 5x more (PLAN.md).
     for w in range(rb + 2):
         for ch in range(4):  # pos.x, pos.y, vel.x, vel.y
             v = window[w, :, ch, :]
