@@ -67,6 +67,10 @@ class StepMetrics(NamedTuple):
     n_spawned: jnp.ndarray  # i32
     n_dropped: jnp.ndarray  # i32: active agents lost to capacity saturation
     n_overflow: jnp.ndarray  # i32: cell-table overflow drops
+    # peak per-cell demand this step (grid backend; 0 elsewhere) — the
+    # Simulator grows table_capacity BEFORE demand reaches K, so cell
+    # overflow never drops agents under gradual densification
+    max_demand: jnp.ndarray = np.int32(0)
 
 
 def _spawn_cap(lam: float) -> int:
@@ -341,9 +345,13 @@ def make_step(cfg: StepConfig, maps: FieldMaps):
         # beyond cutoff), and the agent flings itself out of the grid on
         # integration, despawning counted next step.
         vel_f = jnp.where(jnp.abs(ext.vel) < 2.0**30, ext.vel, 2.0**30)
+        # ... and a non-finite SPEED would NaN the goal force the same way
+        # (speed reaches accel via (e*speed - vel)/tau); the sentinel makes
+        # the agent fling itself out of the grid instead, counted.
+        speed_f = jnp.where(jnp.abs(ext.speed) < 2.0**30, ext.speed, 2.0**30)
         packed = jnp.concatenate(
             [
-                ext.pos, vel_f, ext.speed[:, None],
+                ext.pos, vel_f, speed_f[:, None],
                 ext.dest.astype(jnp.float32)[:, None],
                 alive.astype(jnp.float32)[:, None],
                 e, fs.obs_dist[:, None], fs.obs_grad,

@@ -225,8 +225,21 @@ class WebViewer:
                 else:
                     self.send_error(404)
 
+            def _same_origin(self) -> bool:
+                """CSRF guard: browsers attach an Origin header to every
+                cross-origin POST (even 'simple' text/plain ones), so a
+                request whose Origin does not match its own Host header
+                came from another page — reject it.  Same-origin requests
+                either omit Origin or match."""
+                origin = self.headers.get("Origin")
+                if origin is None:
+                    return True
+                return origin == f"http://{self.headers.get('Host', '')}"
+
             def do_POST(self) -> None:
-                if self.path == "/control":
+                if not self._same_origin():
+                    self.send_error(403, "cross-origin control rejected")
+                elif self.path == "/control":
                     ln = int(self.headers.get("Content-Length", 0))
                     try:
                         body = json.loads(self.rfile.read(ln) or b"{}")
