@@ -200,6 +200,9 @@ def spawn_scatter(cfg: StepConfig, d: jnp.ndarray, key: jnp.ndarray,
 
     base = ((ly_s + 1) * k + jnp.clip(slot_k, 0, k - 1)) * (8 * nxl) \
         + (cx_s + 1)
+    # Rejected candidates aim at flat_len — OUT OF BOUNDS on purpose:
+    # mode="drop" discards them, so no sentinel slot (and no full-grid
+    # concatenate/slice copy — ~100 MB each at 1M agents) is needed.
     tgt = jnp.where(ok, base, flat_len)
     vals = [
         take(cand.pos[:, 0]), take(cand.pos[:, 1]),
@@ -207,14 +210,14 @@ def spawn_scatter(cfg: StepConfig, d: jnp.ndarray, key: jnp.ndarray,
         take(cand.speed), take(cand.dest).astype(jnp.float32),
         ok.astype(jnp.float32),
     ]
-    df = jnp.concatenate([d.reshape(-1), jnp.zeros((1,), jnp.float32)])
+    df = d.reshape(-1)
     for chn, v in enumerate(vals):
         df = df.at[tgt + chn * nxl].set(v, mode="drop")
     # count update: slot-0 channel 7
     cnt_tgt = jnp.where(ok, ((ly_s + 1) * k) * (8 * nxl) + 7 * nxl
                         + (cx_s + 1), flat_len)
     df = df.at[cnt_tgt].add(1.0, mode="drop")
-    return df[:-1].reshape(d.shape), n_spawned, n_drop
+    return df.reshape(d.shape), n_spawned, n_drop
 
 
 def occupancy_bound(d_pad: jnp.ndarray, rb: int, nb: int, k: int) -> jnp.ndarray:
@@ -233,6 +236,36 @@ def assert_movement_fits_rebin(cfg: StepConfig) -> None:
     max_step = phys.max_speed_factor * (phys.speed_mean + 8 * phys.speed_std) \
         * phys.delta_time
     assert max_step < cfg.grid.unit, (max_step, cfg.grid.unit)
+
+
+def make_kernel_chain(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
+    """Kernels-only step (fused force kernel + rebin, no spawn/metrics):
+    ``(d, fwp, fobs) -> d'``.  The measurement surface behind the
+    diagnostic log's ``time_calc_state_kernel`` slot — the reference
+    measured its OpenCL kernel time and discarded it
+    (sfm_gpu.rs:229-236); here a chained timed run of this function
+    isolates device kernel time from spawn/metric/host overhead."""
+    from .sfm_pallas import stride_for
+
+    if not supports(cfg, row_block):
+        raise ValueError("grid backend scenario limits (sfm_pallas.supports)")
+    stride = stride_for(cfg)
+    dims = GridDims.build(cfg, row_block)
+    k, rb, ny_pad = dims.k, dims.rb, dims.ny_pad
+    nb = ny_pad // rb
+    interpret = jax.default_backend() != "tpu"
+
+    def chain(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray):
+        jmax = occupancy_bound(d, rb, nb, k)
+        g = fused_step_kernel(d, fwp, fobs, cfg.physics, cfg.scenario.size,
+                              row_block=rb, interpret=interpret, jmax=jmax,
+                              stride=stride, field_unit=cfg.field_unit)
+        d2, _ovf, _dmx = rebin_kernel(g, cfg.grid.unit, cfg.grid.nx,
+                                      cfg.grid.ny, row_block=rb,
+                                      interpret=interpret, jmax=jmax)
+        return d2
+
+    return chain
 
 
 def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
@@ -275,15 +308,15 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
                               stride=stride, field_unit=cfg.field_unit)
         n_active = jnp.sum(g[:, :, 6, :]).astype(jnp.int32)
 
-        gp = jnp.pad(g, ((1, 1), (0, 0), (0, 0), (0, 0)))
-        d2 = rebin_kernel(gp, grid.unit, grid.nx, grid.ny, row_block=rb,
-                          interpret=interpret, jmax=jmax)
-        demand = d2[:, 0, 7, :]
-        n_overflow = jnp.sum(jnp.maximum(demand - k, 0.0)).astype(jnp.int32)
-        n_after = jnp.sum(d2[:, :, 6, :]).astype(jnp.int32)
-        d_new = jnp.pad(d2, ((1, 1), (0, 0), (0, 0), (0, 0)))
-        # clamp the stored count to what the cells actually hold
-        d_new = d_new.at[1:-1, 0, 7, :].set(jnp.minimum(demand, float(k)))
+        # Both kernels emit ghost-carrying arrays, so the rebin consumes
+        # g directly and its output IS next step's state — the XLA-side
+        # pad/clamp copies (3 full-grid HBM round trips per step) are
+        # gone; overflow/demand ride out as per-block scalars.
+        d_new, ovf, dmx = rebin_kernel(g, grid.unit, grid.nx, grid.ny,
+                                       row_block=rb, interpret=interpret,
+                                       jmax=jmax)
+        n_overflow = jnp.sum(ovf).astype(jnp.int32)
+        n_after = jnp.sum(d_new[:, :, 6, :]).astype(jnp.int32)
 
         metrics = StepMetrics(
             n_active=n_active,
@@ -291,6 +324,7 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
             # out-of-field + cell-overflow losses, plus spawn drops
             n_dropped=n_spawn_drop + (n_active - n_after) - n_overflow,
             n_overflow=n_overflow,
+            max_demand=jnp.max(dmx).astype(jnp.int32),
         )
         return GridState(d=d_new, key=key, step=state.step + 1), metrics
 

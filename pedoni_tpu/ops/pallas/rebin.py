@@ -17,17 +17,29 @@ landing in this cell is written to slot ``cnt`` via a one-hot
 (rank-dense, no holes), so the per-cell count doubles as the free-slot
 cursor for the XLA-side spawn scatter and the next step's occupancy bound.
 
-Input  G  [ny_pad+2, K, 8, NXL]: the step kernel's output, padded with one
-                                 zero ghost row on each side (channel
-                                 layout: pos, vel, speed, dest, active, -).
-Output D' [ny_pad,   K, 8, NXL]: fresh bins; channels 0-6 as in G,
-                                 channel 7 = per-cell active count
-                                 (broadcast over slots).
+Input  G  [ny_pad+2, K, 8, NXL]: the step kernel's output (ghost-carrying:
+                                 rows 0 and ny_pad+1 zero or neighbor
+                                 slabs; channel layout: pos, vel, speed,
+                                 dest, active, -).
+Output D' [ny_pad+2, K, 8, NXL]: fresh bins, GHOST-CARRYING (edge blocks
+                                 zero rows 0 and ny_pad+1, so D' is
+                                 directly next step's input — no XLA pad
+                                 copy); channels 0-6 as in G, channel 7 =
+                                 per-cell active count CLAMPED to K
+                                 (broadcast over slots — the free-slot
+                                 cursor for the spawn scatter and the
+                                 next occupancy bound).
+Output overflow [nb] f32 (SMEM):  per-block sum of max(demand - K, 0) —
+                                 agents dropped because their new cell
+                                 was full.
+Output demand_max [nb] f32 (SMEM): per-block max un-clamped demand; the
+                                 Simulator grows table_capacity BEFORE
+                                 cells overflow (drop-free growth) when
+                                 max demand approaches K.
 
-Agents whose new cell is full (cnt >= K) are dropped — count them as
-sum(G.active) - sum(D'.active) on the XLA side.  Agents that left the
-field vanish here exactly like the reference's out-of-grid drop
-(neighbor_grid.rs:29).
+Agents whose new cell is full (cnt >= K) are dropped — the overflow
+output counts them exactly.  Agents that left the field vanish here
+exactly like the reference's out-of-grid drop (neighbor_grid.rs:29).
 """
 
 from __future__ import annotations
@@ -45,11 +57,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .step_kernel import _shift_lane
 
 
-def _kernel(jmax_ref, roff_ref, coff_ref, g_hbm, out_ref, window, sem, *,
+def _kernel(jmax_ref, roff_ref, coff_ref, g_hbm, out_hbm, ovf_ref, dmx_ref,
+            window, outbuf, sems, *,
             rb: int, k: int, unit: float, nx_cells: int, ny_cells: int,
             nx_local: int):
     i = pl.program_id(0)
-    cp = pltpu.make_async_copy(g_hbm.at[pl.ds(i * rb, rb + 2)], window, sem)
+    cp = pltpu.make_async_copy(g_hbm.at[pl.ds(i * rb, rb + 2)], window,
+                               sems.at[0])
     cp.start()
     cp.wait()
 
@@ -119,9 +133,36 @@ def _kernel(jmax_ref, roff_ref, coff_ref, g_hbm, out_ref, window, sem, *,
     cnt, *outs = jax.lax.fori_loop(0, jmax, body, (cnt, *outs))
 
     for c in range(6):
-        out_ref[:, :, c, :] = outs[c]
-    out_ref[:, :, 6, :] = jnp.where(k_iota < cnt, 1.0, 0.0)
-    out_ref[:, :, 7, :] = jnp.broadcast_to(cnt, (rb, k, nxl))
+        outbuf[:, :, c, :] = outs[c]
+    outbuf[:, :, 6, :] = jnp.where(k_iota < cnt, 1.0, 0.0)
+    outbuf[:, :, 7, :] = jnp.broadcast_to(jnp.minimum(cnt, float(k)),
+                                          (rb, k, nxl))
+    # Per-block overflow / peak-demand scalars (the XLA side reduces
+    # them): the un-clamped cnt never leaves the kernel otherwise.
+    ovf_ref[i] = jnp.sum(jnp.maximum(cnt - float(k), 0.0))
+    dmx_ref[i] = jnp.max(cnt)
+
+    co = pltpu.make_async_copy(
+        outbuf, out_hbm.at[pl.ds(i * rb + 1, rb)], sems.at[1])
+    co.start()
+    co.wait()
+
+    @pl.when(i == 0)
+    def _write_top_ghost():
+        outbuf[0:1] = jnp.zeros_like(outbuf[0:1])
+        cz = pltpu.make_async_copy(
+            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(0, 1)], sems.at[1])
+        cz.start()
+        cz.wait()
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _write_bottom_ghost():
+        outbuf[0:1] = jnp.zeros_like(outbuf[0:1])
+        nyp1 = pl.num_programs(0) * rb + 1
+        cz = pltpu.make_async_copy(
+            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(nyp1, 1)], sems.at[1])
+        cz.start()
+        cz.wait()
 
 
 def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
@@ -146,7 +187,8 @@ def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
     (parallel/tile2d.py), lane l holds global cell column col_offset+l-1
     and only lanes [1, nx_local] are owned — agents landing elsewhere are
     the lane-neighbor's (its rebin keeps them).  Defaults: 0 / nx_cells.
-    Returns D' [ny_pad, K, 8, NXL] with channel 7 = per-cell count.
+    Returns (D' [ny_pad+2, K, 8, NXL] ghost-carrying with channel 7 =
+    per-cell count clamped to K, overflow [nb], demand_max [nb]).
     """
     ny2, k, ch, nxl = g.shape
     assert ch == 8 and nxl % 128 == 0
@@ -177,13 +219,20 @@ def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (rb, k, 8, nxl), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((ny_pad, k, 8, nxl), jnp.float32),
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((nb,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nb,), lambda i: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ny_pad + 2, k, 8, nxl), jnp.float32),
+            jax.ShapeDtypeStruct((nb,), jnp.float32),
+            jax.ShapeDtypeStruct((nb,), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((rb + 2, k, 8, nxl), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((rb, k, 8, nxl), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(jmax, row_offset, col_offset, g)

@@ -19,11 +19,18 @@ lane l is F[6w + q, (3+p) % 6, ch, l + (3+p)//6] for window row w.
 
 Input  D  [ny_pad+2, K, 8, NXL]: 0 pos.x, 1 pos.y, 2 vel.x, 3 vel.y,
                                  4 speed, 5 dest, 6 active, 7 spare
-Output OUT [ny_pad,  K, 8, NXL]: same channel layout, post-step values
+Output OUT [ny_pad+2, K, 8, NXL]: same channel layout, post-step values
                                  (active is post-despawn; speed/dest pass
-                                 through) — so the rebin kernel
-                                 (ops/pallas/rebin.py) and the sharded
-                                 ghost-row exchange consume OUT directly.
+                                 through), GHOST-CARRYING: rows 0 and
+                                 ny_pad+1 are written zero by the edge
+                                 blocks, so the rebin kernel
+                                 (ops/pallas/rebin.py) consumes OUT
+                                 directly with no XLA-side pad copy, and
+                                 the sharded paths refresh the ghost rows
+                                 in place (dynamic-update-slice) instead
+                                 of concatenating a fresh array — at 1M
+                                 agents each avoided pad/concat is a
+                                 ~100 MB HBM round trip per step.
 
 Physics per sfm.rs:91-255; despawn per sfm.rs:69 (+ out-of-grid,
 neighbor_grid.rs:29).  Cell (r, x) holds agents at D row r+1, lane x+1.
@@ -94,9 +101,9 @@ def _sample_row(fwin, base_row: int, q0, p0, tx, ty, channels=(0, 1, 2),
     return [out[ci] for ci in channels]
 
 
-def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref,
-            window, fwp, fobs, act_scr, sems, *, rb: int, k: int, n_wp: int,
-            phys: Physics, grid_w: float, grid_h: float,
+def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_hbm,
+            window, fwp, fobs, act_scr, outbuf, sems, *, rb: int, k: int,
+            n_wp: int, phys: Physics, grid_w: float, grid_h: float,
             stride: int = STRIDE, inv_unit: float = 4.0):
     i = pl.program_id(0)
 
@@ -123,11 +130,15 @@ def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref,
     # downstream finite: the agent exerts zero force (beyond cutoff),
     # samples zero potential, despawns this step, and is counted — and
     # kernel outputs are then always finite, so the rebin needs no
-    # sanitizing of its own.  Measured 0.6 ms/step at 1M; doing this
+    # sanitizing of its own.  Channel 4 (speed) is included: a NaN speed
+    # would otherwise reach the goal force and NaN the integrated
+    # position while the agent stays active; the huge-finite sentinel
+    # instead catapults it off-grid where the rebin drops it, counted.
+    # Measured 0.6 ms/step at 1M; doing this
     # per-candidate-slice instead fuses the select into the broadcast
     # consumers at full [rb, K, NXL] width and costs 5x more (PLAN.md).
     for w in range(rb + 2):
-        for ch in range(4):  # pos.x, pos.y, vel.x, vel.y
+        for ch in range(5):  # pos.x, pos.y, vel.x, vel.y, speed
             v = window[w, :, ch, :]
             window[w, :, ch, :] = jnp.where(
                 jnp.abs(v) < jnp.float32(2.0**30), v, jnp.float32(2.0**30))
@@ -279,14 +290,40 @@ def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_ref,
     nvx = jnp.where(keep, nvx, velx)
     nvy = jnp.where(keep, nvy, vely)
 
-    out_ref[:, :, 0, :] = npx
-    out_ref[:, :, 1, :] = npy
-    out_ref[:, :, 2, :] = nvx
-    out_ref[:, :, 3, :] = nvy
-    out_ref[:, :, 4, :] = speed
-    out_ref[:, :, 5, :] = window[1 : 1 + rb, :, 5, :]
-    out_ref[:, :, 6, :] = act_c
-    out_ref[:, :, 7, :] = jnp.stack(pots[1 : 1 + rb])
+    outbuf[:, :, 0, :] = npx
+    outbuf[:, :, 1, :] = npy
+    outbuf[:, :, 2, :] = nvx
+    outbuf[:, :, 3, :] = nvy
+    outbuf[:, :, 4, :] = speed
+    outbuf[:, :, 5, :] = window[1 : 1 + rb, :, 5, :]
+    outbuf[:, :, 6, :] = act_c
+    outbuf[:, :, 7, :] = jnp.stack(pots[1 : 1 + rb])
+
+    # Ghost-carrying output: center rows land at [1 + i*rb, 1 + i*rb + rb);
+    # the edge blocks also zero the ghost rows so downstream consumers
+    # never pad.  The output DMA is ~0.3 us/block vs ~70 us of compute,
+    # so start+wait (no double buffering) costs nothing measurable.
+    co = pltpu.make_async_copy(
+        outbuf, out_hbm.at[pl.ds(i * rb + 1, rb)], sems.at[3])
+    co.start()
+    co.wait()
+
+    @pl.when(i == 0)
+    def _write_top_ghost():
+        outbuf[0:1] = jnp.zeros_like(outbuf[0:1])
+        cz = pltpu.make_async_copy(
+            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(0, 1)], sems.at[3])
+        cz.start()
+        cz.wait()
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _write_bottom_ghost():
+        outbuf[0:1] = jnp.zeros_like(outbuf[0:1])
+        nyp1 = pl.num_programs(0) * rb + 1
+        cz = pltpu.make_async_copy(
+            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(nyp1, 1)], sems.at[3])
+        cz.start()
+        cz.wait()
 
 
 def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
@@ -313,7 +350,8 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
     offset.
     stride / field_unit: the field layout (neighbor unit = stride *
     field_unit; see fields6.py).
-    Returns OUT [ny_pad, K, 8, NXL].
+    Returns OUT [ny_pad+2, K, 8, NXL], ghost-carrying (rows 0 and
+    ny_pad+1 zeroed).
     """
     ny2, k, ch, nxl = d.shape
     assert ch == 8 and nxl % 128 == 0
@@ -350,16 +388,15 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (rb, k, 8, nxl), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((ny_pad, k, 8, nxl), jnp.float32),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((ny_pad + 2, k, 8, nxl), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((rb + 2, k, 8, nxl), jnp.float32),
             pltpu.VMEM((n_wp, flen, stride, N_CH, nxl), jnp.float32),
             pltpu.VMEM((flen, stride, N_CH, nxl), jnp.float32),
             pltpu.VMEM((rb + 2, k, nxl), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((rb, k, 8, nxl), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,

@@ -8,11 +8,13 @@ natural layout is a 2D (rows x cols) device grid: device (r, c) owns an
 O(nx/C + ny/R), and the ICI mesh topology is used along both axes.
 The reference has no multi-device support at all (SURVEY.md section 2).
 
-Layout per device: ``d [rl, K, 8, NXL_loc]`` where lane ``l`` holds
-global cell column ``c*cl + l - 1`` — lane 0 and lane cl+1 are ghost
-lanes, refreshed from the lane neighbors each step; lanes >= cl+2 are
-zero padding to the 128-lane tile.  Positions stay in GLOBAL
-coordinates; the kernels take (row_offset, col_offset) scalars.
+Layout per device: ``d [rl+2, K, 8, NXL_loc]`` GHOST-CARRYING — rows 0
+and rl+1 are ghost rows and lane ``l`` holds global cell column
+``c*cl + l - 1`` with lanes 0 and cl+1 as ghost lanes; ghosts are
+refreshed IN PLACE from the neighbors each step (dynamic-update-slice,
+no concatenation copies — the kernels emit ghost-carrying outputs too).
+Lanes >= cl+2 are zero padding to the 128-lane tile.  Positions stay in
+GLOBAL coordinates; the kernels take (row_offset, col_offset) scalars.
 
 Per step, two halo exchanges of the same shape (columns first, then
 rows, so the row slabs carry the just-refreshed corner lanes — the 3x3
@@ -82,6 +84,9 @@ class Tile2DConfig:
     @classmethod
     def build(cls, cfg: StepConfig, rows: int, cols: int,
               row_block: int = 2) -> "Tile2DConfig":
+        if rows < 1 or cols < 1:
+            raise ValueError(
+                f"tile must have rows >= 1 and cols >= 1, got {rows}x{cols}")
         if not supports(cfg, row_block):
             raise ValueError("2D tile sharding inherits the grid backend's "
                              "scenario limits (see sfm_pallas.supports)")
@@ -140,22 +145,27 @@ def make_sharded_grid_state(tcfg: Tile2DConfig, mesh: Mesh,
                             state: SimState) -> GridState:
     """Bin a flat state and lay the grid out as 2D tiles on the mesh.
 
-    The global array is a BLOCK layout [R*rl, K, 8, C*NXL_loc]: each
-    device's lane window is its own 128-padded tile (ghost lanes zeroed;
-    the step refreshes them before use)."""
+    The global array is a BLOCK layout [R*(rl+2), K, 8, C*NXL_loc]: each
+    device's slab is GHOST-CARRYING (rows 0 and rl+1, lanes 0 and cl+1)
+    with its own 128-padded lane tile; ghosts start zero — the step
+    refreshes them in place (dynamic-update-slice, no per-step
+    concatenation) before use."""
     cfg = tcfg.base
     rl, cl, nxl = tcfg.rows_local, tcfg.cols_local, tcfg.nxl_local
     full = bin_state(cfg, state, row_block=tcfg.row_block)
     core = np.asarray(full.d[1 : 1 + cfg.grid.ny])  # [ny, K, 8, NXL_full]
     core = np.pad(core, ((0, tcfg.ny_total - cfg.grid.ny),
                          (0, 0), (0, 0), (0, 0)))
-    blocks = np.zeros((tcfg.ny_total, core.shape[1], 8, tcfg.cols * nxl),
-                      np.float32)
-    for c in range(tcfg.cols):
-        n_own = min(cl, cfg.grid.nx - c * cl)
-        # owned lanes only — ghosts/padding stay zero
-        blocks[..., c * nxl + 1 : c * nxl + 1 + n_own] = \
-            core[..., c * cl + 1 : c * cl + 1 + n_own]
+    blocks = np.zeros((tcfg.rows * (rl + 2), core.shape[1], 8,
+                       tcfg.cols * nxl), np.float32)
+    for r in range(tcfg.rows):
+        for c in range(tcfg.cols):
+            n_own = min(cl, cfg.grid.nx - c * cl)
+            # owned rows/lanes only — ghosts/padding stay zero
+            blocks[r * (rl + 2) + 1 : r * (rl + 2) + 1 + rl, ...,
+                   c * nxl + 1 : c * nxl + 1 + n_own] = \
+                core[r * rl : r * rl + rl, ...,
+                     c * cl + 1 : c * cl + 1 + n_own]
     rep = NamedSharding(mesh, P())
     return GridState(
         d=jax.device_put(jnp.asarray(blocks),
@@ -168,15 +178,20 @@ def make_sharded_grid_state(tcfg: Tile2DConfig, mesh: Mesh,
 def unbin_sharded(tcfg: Tile2DConfig, gs: GridState) -> SimState:
     """Gather the tiled grid back to flat host-side agent arrays."""
     cfg = tcfg.base
-    cl, nxl = tcfg.cols_local, tcfg.nxl_local
-    blocks = np.asarray(gs.d)  # [ny_total, K, 8, C*NXL_loc]
+    rl, cl, nxl = tcfg.rows_local, tcfg.cols_local, tcfg.nxl_local
+    blocks = np.asarray(gs.d)  # [R*(rl+2), K, 8, C*NXL_loc]
     nxl_full = -(-(cfg.grid.nx + 3) // 128) * 128
-    core = np.zeros((cfg.grid.ny, blocks.shape[1], 8, nxl_full), np.float32)
-    for c in range(tcfg.cols):
-        n_own = min(cl, cfg.grid.nx - c * cl)
-        core[..., c * cl + 1 : c * cl + 1 + n_own] = \
-            blocks[: cfg.grid.ny, ..., c * nxl + 1 : c * nxl + 1 + n_own]
-    padded = jnp.pad(jnp.asarray(core), ((1, 1), (0, 0), (0, 0), (0, 0)))
+    core = np.zeros((tcfg.ny_total, blocks.shape[1], 8, nxl_full),
+                    np.float32)
+    for r in range(tcfg.rows):
+        for c in range(tcfg.cols):
+            n_own = min(cl, cfg.grid.nx - c * cl)
+            core[r * rl : r * rl + rl, ...,
+                 c * cl + 1 : c * cl + 1 + n_own] = \
+                blocks[r * (rl + 2) + 1 : r * (rl + 2) + 1 + rl, ...,
+                       c * nxl + 1 : c * nxl + 1 + n_own]
+    padded = jnp.pad(jnp.asarray(core[: cfg.grid.ny]),
+                     ((1, 1), (0, 0), (0, 0), (0, 0)))
     return unbin_state(cfg, GridState(d=padded, key=gs.key, step=gs.step))
 
 
@@ -211,12 +226,18 @@ def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh):
         return x
 
     def exchange_rows(x):
-        """[rl, ...] -> [rl+2, ...] with neighbor edge rows as ghosts."""
+        """Refresh ghost rows 0 and rl+1 of the ghost-carrying slab
+        [rl+2, ...] from the row neighbors' edge OWNED rows, in place
+        (dynamic-update-slice — no per-step concatenation copy).  Edge
+        devices receive ppermute's zero fill, matching the field edge;
+        for R == 1 the kernels already wrote zero ghosts."""
         if R == 1:
-            return jnp.pad(x, ((1, 1),) + ((0, 0),) * (x.ndim - 1))
-        top = jax.lax.ppermute(x[-1:], ROW_AXIS, down_perm)
-        bot = jax.lax.ppermute(x[:1], ROW_AXIS, up_perm)
-        return jnp.concatenate([top, x, bot], axis=0)
+            return x
+        top = jax.lax.ppermute(x[rl : rl + 1], ROW_AXIS, down_perm)
+        bot = jax.lax.ppermute(x[1:2], ROW_AXIS, up_perm)
+        x = jax.lax.dynamic_update_slice_in_dim(x, top, 0, axis=0)
+        x = jax.lax.dynamic_update_slice_in_dim(x, bot, rl + 1, axis=0)
+        return x
 
     def exchange(x):
         return exchange_rows(exchange_cols(x))
@@ -225,7 +246,8 @@ def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh):
         return occupancy_bound(d_pad, rb, nb, k)
 
     def step_local(d_loc, k_spawn, wp_slab, obs_slab):
-        # d_loc [rl, K, 8, NXL_loc]; slabs carry leading axes of (1, 1).
+        # d_loc [rl+2, K, 8, NXL_loc] ghost-carrying; slabs carry leading
+        # axes of (1, 1).
         wp_slab = wp_slab[0, 0]
         obs_slab = obs_slab[0, 0]
         r_idx = jax.lax.axis_index(ROW_AXIS)
@@ -255,15 +277,13 @@ def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh):
         n_active = jnp.sum(g[:, :, 6, 1 : cl + 1]).astype(jnp.int32)
 
         gp = exchange(g)
-        d2 = rebin_kernel(
+        d2, ovf, dmx = rebin_kernel(
             gp, grid.unit, grid.nx, grid.ny, row_block=rb,
             interpret=interpret, jmax=jmax, row_offset=row_lo[None],
             col_offset=col_lo[None], nx_local=cl,
         )
-        demand = d2[:, 0, 7, :]
-        n_overflow = jnp.sum(jnp.maximum(demand - k, 0.0)).astype(jnp.int32)
+        n_overflow = jnp.sum(ovf).astype(jnp.int32)
         n_after = jnp.sum(d2[:, :, 6, :]).astype(jnp.int32)
-        d2 = d2.at[:, 0, 7, :].set(jnp.minimum(demand, float(k)))
 
         def allsum(v):
             return jax.lax.psum(jax.lax.psum(v, ROW_AXIS), COL_AXIS)
@@ -273,6 +293,9 @@ def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh):
             n_spawned=allsum(n_spawned),
             n_dropped=allsum(n_spawn_drop + (n_active - n_after) - n_overflow),
             n_overflow=allsum(n_overflow),
+            max_demand=jax.lax.pmax(
+                jax.lax.pmax(jnp.max(dmx), ROW_AXIS), COL_AXIS
+            ).astype(jnp.int32),
         )
         return d2, metrics
 

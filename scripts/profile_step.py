@@ -75,18 +75,18 @@ def main() -> int:
     print(f"full step:        "
           f"{(time.perf_counter() - t0) / args.steps * 1000:7.2f} ms")
 
-    k1 = jax.jit(lambda d, fwp, fobs: jnp.pad(
-        fused_step_kernel(d, fwp, fobs, cfg.physics, cfg.scenario.size,
-                          row_block=2, jmax=jmax14, stride=stride,
-                          field_unit=cfg.field_unit),
-        ((1, 1), (0, 0), (0, 0), (0, 0))))
-    print(f"kernel1 (+pad):   {chain(k1, state.d, fwp, fobs, n=args.steps):7.2f} ms")
+    # Both kernels are ghost-carrying since round 3: output shape ==
+    # input shape, so the chains need no pad glue.
+    k1 = jax.jit(lambda d, fwp, fobs: fused_step_kernel(
+        d, fwp, fobs, cfg.physics, cfg.scenario.size,
+        row_block=2, jmax=jmax14, stride=stride,
+        field_unit=cfg.field_unit))
+    print(f"kernel1:          {chain(k1, state.d, fwp, fobs, n=args.steps):7.2f} ms")
 
-    k2 = jax.jit(lambda d, fwp, fobs: jnp.pad(
-        rebin_kernel(d, cfg.grid.unit, cfg.grid.nx, cfg.grid.ny,
-                     row_block=2, jmax=jmax14),
-        ((1, 1), (0, 0), (0, 0), (0, 0))))
-    print(f"rebin (+pad):     {chain(k2, state.d, fwp, fobs, n=args.steps):7.2f} ms")
+    k2 = jax.jit(lambda d, fwp, fobs: rebin_kernel(
+        d, cfg.grid.unit, cfg.grid.nx, cfg.grid.ny,
+        row_block=2, jmax=jmax14)[0])
+    print(f"rebin:            {chain(k2, state.d, fwp, fobs, n=args.steps):7.2f} ms")
 
     def k12(d, fwp, fobs):
         from pedoni_tpu.models.sfm_grid import occupancy_bound
@@ -95,10 +95,9 @@ def main() -> int:
         g = fused_step_kernel(d, fwp, fobs, cfg.physics, cfg.scenario.size,
                               row_block=2, jmax=jm, stride=stride,
                               field_unit=cfg.field_unit)
-        gp = jnp.pad(g, ((1, 1), (0, 0), (0, 0), (0, 0)))
-        d2 = rebin_kernel(gp, cfg.grid.unit, cfg.grid.nx, cfg.grid.ny,
-                          row_block=2, jmax=jm)
-        return jnp.pad(d2, ((1, 1), (0, 0), (0, 0), (0, 0)))
+        d2, _ovf, _dmx = rebin_kernel(g, cfg.grid.unit, cfg.grid.nx,
+                                      cfg.grid.ny, row_block=2, jmax=jm)
+        return d2
 
     print(f"k1+rebin+jmax:    "
           f"{chain(jax.jit(k12), state.d, fwp, fobs, n=args.steps):7.2f} ms "

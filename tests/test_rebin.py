@@ -1,10 +1,13 @@
 """Rebin kernel (ops/pallas/rebin.py) vs a direct NumPy re-binning.
 
 The kernel's contract: given the post-step grid (agents possibly displaced
-by up to one cell), produce fully compacted bins where each output cell
-holds the agents whose floor(pos/unit) lands there, in the kernel's fixed
-(slot, dy, dx) candidate order; overflow beyond K dropped; agents landing
-outside the [nx_cells, ny_cells] field vanish (neighbor_grid.rs:29).
+by up to one cell), produce fully compacted GHOST-CARRYING bins where each
+output cell holds the agents whose floor(pos/unit) lands there, in the
+kernel's fixed (slot, dy, dx) candidate order; overflow beyond K dropped
+(counted in the per-block overflow output); agents landing outside the
+[nx_cells, ny_cells] field vanish (neighbor_grid.rs:29).  Channel 7 is the
+per-cell count clamped to K; un-clamped peak demand rides out in the
+per-block demand_max output.
 """
 
 import jax.numpy as jnp
@@ -19,11 +22,15 @@ NX = 20  # real field extent in cells (lanes 1..20)
 
 
 def _numpy_rebin(g: np.ndarray, unit: float, nx_cells: int,
-                 ny_cells: int) -> np.ndarray:
-    """Reference re-binning in the kernel's candidate order."""
+                 ny_cells: int):
+    """Reference re-binning in the kernel's candidate order.
+
+    Returns (ghost-carrying bins with clamped channel-7 counts,
+    per-cell un-clamped demand [ny, nxl])."""
     ny2, kk, ch, nxl = g.shape
     ny = ny2 - 2
-    out = np.zeros((ny, kk, ch, nxl), np.float32)
+    out = np.zeros((ny + 2, kk, ch, nxl), np.float32)
+    demand = np.zeros((ny, nxl), np.float32)
     for r in range(ny):          # output cell row r lives at g row r+1
         for lane in range(nxl):  # output cell x = lane - 1
             cnt = 0
@@ -40,10 +47,20 @@ def _numpy_rebin(g: np.ndarray, unit: float, nx_cells: int,
                             continue
                         if tgt_row == r and tgt_lane == lane:
                             if cnt < kk:
-                                out[r, cnt, :7, lane] = cand[:7]
+                                out[r + 1, cnt, :7, lane] = cand[:7]
                             cnt += 1
-            out[r, :, 7, lane] = cnt
-    return out
+            out[r + 1, :, 7, lane] = min(cnt, kk)
+            demand[r, lane] = cnt
+    return out, demand
+
+
+def _block_reductions(demand: np.ndarray, rb: int, k: int):
+    nb = demand.shape[0] // rb
+    ovf = np.array([np.maximum(demand[i * rb:(i + 1) * rb] - k, 0).sum()
+                    for i in range(nb)], np.float32)
+    dmx = np.array([demand[i * rb:(i + 1) * rb].max() for i in range(nb)],
+                   np.float32)
+    return ovf, dmx
 
 
 def _make_grid(ny, seed=0, n_per_cell=3, jitter=0.9):
@@ -68,23 +85,26 @@ def _make_grid(ny, seed=0, n_per_cell=3, jitter=0.9):
 def test_rebin_matches_numpy():
     ny = 8
     g = _make_grid(ny, seed=1)
-    want = _numpy_rebin(g, UNIT, NX, ny)
-    got = np.asarray(rebin_kernel(jnp.asarray(g), UNIT, NX, ny,
-                                  row_block=2, interpret=True))
+    want, demand = _numpy_rebin(g, UNIT, NX, ny)
+    got, ovf, dmx = (np.asarray(a) for a in rebin_kernel(
+        jnp.asarray(g), UNIT, NX, ny, row_block=2, interpret=True))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+    want_ovf, want_dmx = _block_reductions(demand, 2, K)
+    np.testing.assert_allclose(ovf, want_ovf, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(dmx, want_dmx, rtol=0, atol=1e-6)
 
 
 def test_rebin_agent_conservation():
     """Active in-field agents are conserved up to counted cell overflow."""
     ny = 6
     g = _make_grid(ny, seed=2)
-    want = _numpy_rebin(g, UNIT, NX, ny)
-    got = np.asarray(rebin_kernel(jnp.asarray(g), UNIT, NX, ny,
-                                  row_block=2, interpret=True))
-    demand = want[:, 0, 7, :]
+    want, demand = _numpy_rebin(g, UNIT, NX, ny)
+    got, ovf, _dmx = (np.asarray(a) for a in rebin_kernel(
+        jnp.asarray(g), UNIT, NX, ny, row_block=2, interpret=True))
     kept = np.minimum(demand, K).sum()
     n_out = (got[:, :, 6, :] > 0.5).sum()
     assert n_out == kept
+    assert ovf.sum() == np.maximum(demand - K, 0).sum()
     # multiset of kept positions is preserved slot-order-independently
     a_out = got.transpose(0, 1, 3, 2)[got[:, :, 6, :] > 0.5]
     a_want = want.transpose(0, 1, 3, 2)[want[:, :, 6, :] > 0.5]
@@ -95,7 +115,8 @@ def test_rebin_agent_conservation():
 
 def test_rebin_overflow_drops_in_order():
     """More than K agents landing in one cell: first K in candidate order
-    are kept, the rest dropped, channel-7 count reports full demand."""
+    are kept, the rest dropped; the overflow/demand outputs report the
+    excess while channel 7 stays clamped to K (the free-slot cursor)."""
     ny = 4
     g = np.zeros((ny + 2, K, 8, NXL), np.float32)
     # 3 source cells (row 1, x=4,5,6) each with K agents, all moving into
@@ -107,11 +128,13 @@ def test_rebin_overflow_drops_in_order():
             g[2, j, 1, x + 1] = ty
             g[2, j, 4, x + 1] = 100 * x + j  # tag in the speed channel
             g[2, j, 6, x + 1] = 1.0
-    got = np.asarray(rebin_kernel(jnp.asarray(g), UNIT, NX, ny,
-                                  row_block=2, interpret=True))
-    cell = got[1, :, :, 6]  # row 1, lane 6 = cell (1, 5)
+    got, ovf, dmx = (np.asarray(a) for a in rebin_kernel(
+        jnp.asarray(g), UNIT, NX, ny, row_block=2, interpret=True))
+    cell = got[2, :, :, 6]  # output row 2 (ghost-carrying) = cell (1, 5)
     assert (cell[:, 6] > 0.5).all()
-    assert got[1, 0, 7, 6] == 18  # demand recorded
+    assert got[2, 0, 7, 6] == K       # clamped count (free-slot cursor)
+    assert dmx[0] == 18               # un-clamped demand in block 0
+    assert ovf[0] == 18 - K           # dropped agents counted exactly
     # candidate order: (j, dy=0, dx=-1,0,1) -> j=0: x=4,5,6; j=1: ...
     np.testing.assert_array_equal(cell[:, 4], [400, 500, 600, 401, 501, 601])
     assert (got[:, :, 6, :] > 0.5).sum() == K
@@ -129,6 +152,9 @@ def test_rebin_out_of_field_vanish():
     g[ny, 1, 6, 3] = 1.0
     g[1, 2, 0:2, NX] = (NX * UNIT + 0.1, 0.5)  # past the last cell column
     g[1, 2, 6, NX] = 1.0
-    got = np.asarray(rebin_kernel(jnp.asarray(g), UNIT, NX, ny,
-                                  row_block=2, interpret=True))
+    got, ovf, _dmx = (np.asarray(a) for a in rebin_kernel(
+        jnp.asarray(g), UNIT, NX, ny, row_block=2, interpret=True))
     assert (got[:, :, 6, :] > 0.5).sum() == 0
+    assert ovf.sum() == 0
+    # ghost rows of the output are zero (ghost-carrying contract)
+    assert np.all(got[0] == 0) and np.all(got[-1] == 0)

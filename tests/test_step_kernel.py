@@ -108,9 +108,11 @@ def test_fused_kernel_matches_xla_step():
     )
     out = np.asarray(out)
 
-    # Gather per-agent results back by slot.
+    # Gather per-agent results back by slot (output is ghost-carrying:
+    # same row indexing as the input grid).
     gy, gxx, gk = np.unravel_index(slot, (grid.ny + 2, grid.nx + 2, k))
-    res = out[gy - 1, gk, :, gxx]  # [n, 8]
+    res = out[gy, gk, :, gxx]  # [n, 8]
+    assert np.all(out[0] == 0) and np.all(out[-1] == 0)  # zero ghosts
 
     np.testing.assert_array_equal(res[:, 6] > 0.5, alive_ref)
     np.testing.assert_allclose(res[:, 7], np.asarray(fs.potential),
