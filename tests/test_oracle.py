@@ -1,0 +1,128 @@
+"""Differential trajectories: independent f64 oracle vs the real backends.
+
+tests/oracle_sfm.py is a per-agent scalar transliteration of the
+reference physics that shares NO code with pedoni_tpu's vectorized
+implementations.  Running the same initial state through the oracle and
+through the XLA / grid backends for dozens of steps catches any shared
+misreading of the reference (sign conventions, the half-cell sampling
+offset, FOV inequality direction) that the backend-vs-backend
+equivalence tests cannot see.
+
+Spawning is disabled (the oracle cannot reproduce jax.random streams);
+agents carry unique speeds so trajectories can be matched across the
+grid backend's arbitrary slot order.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pedoni_tpu.field import Field, FieldMaps
+from pedoni_tpu.models import sfm_grid, sfm_pallas
+from pedoni_tpu.models.sfm import (
+    AgentState,
+    SimState,
+    StepConfig,
+    device_inputs,
+    make_step,
+)
+from pedoni_tpu.scenario import loads_scenario
+
+from oracle_sfm import oracle_step
+
+SCENARIO = """
+[field]
+size = [18, 12]
+[[waypoints]]
+line = [[2, 2], [2, 10]]
+[[waypoints]]
+line = [[16, 2], [16, 10]]
+[[obstacles]]
+line = [[9, 0], [9, 5]]
+width = 1
+"""
+
+N = 100
+N_STEPS = 50
+CAP = 128
+UNIT = 1.5
+
+
+@pytest.fixture(scope="module")
+def setup():
+    sc = loads_scenario(SCENARIO)
+    field = Field.from_scenario(sc, unit=0.25)
+    maps = FieldMaps.from_field(field)
+    cfg = StepConfig.build(sc, capacity=CAP, neighbor_grid_unit=UNIT,
+                           table_capacity=10)
+    rng = np.random.default_rng(42)
+    pos = rng.uniform(1.0, np.array(sc.size) - 1.0, (CAP, 2)).astype(np.float32)
+    vel = rng.normal(0, 0.2, (CAP, 2)).astype(np.float32)
+    # unique speeds double as agent IDs across slot reordering
+    speed = (1.0 + 0.002 * np.arange(CAP)).astype(np.float32)
+    dest = rng.integers(0, 2, CAP).astype(np.int32)
+    active = np.arange(CAP) < N
+    return sc, field, maps, cfg, pos, vel, speed, dest, active
+
+
+def _oracle_traj(sc, field, pos, vel, speed, dest, active):
+    p, v, a = pos, vel, active.copy()
+    for _ in range(N_STEPS):
+        p, v, a = oracle_step(field, p, v, speed.astype(np.float64),
+                              dest, a, sc.size, UNIT)
+    return p, a
+
+
+def _compare(speed, o_pos, o_act, b_pos, b_act, b_speed, what):
+    """Match backend agents to oracle agents by their unique speed tag."""
+    o_ids = {round(float(s), 6): i for i, s in enumerate(speed)}
+    matched = 0
+    worst = 0.0
+    for bi in np.flatnonzero(b_act):
+        oi = o_ids[round(float(b_speed[bi]), 6)]
+        assert o_act[oi], f"{what}: agent {oi} active in backend, not oracle"
+        worst = max(worst, float(np.abs(b_pos[bi] - o_pos[oi]).max()))
+        matched += 1
+    assert matched == o_act.sum(), (
+        f"{what}: backend kept {matched} agents, oracle {int(o_act.sum())}")
+    # f32 backend vs f64 oracle: per-step rounding ~1e-6 amplified over
+    # 50 interacting steps; 5e-3 m catches any semantic error (a sign or
+    # offset bug displaces by whole cells) while allowing float drift.
+    assert worst < 5e-3, f"{what}: max position divergence {worst:.2e}"
+
+
+def test_xla_backend_matches_oracle(setup):
+    sc, field, maps, cfg, pos, vel, speed, dest, active = setup
+    o_pos, o_act = _oracle_traj(sc, field, pos, vel, speed, dest, active)
+
+    agents = AgentState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                        speed=jnp.asarray(speed), dest=jnp.asarray(dest),
+                        active=jnp.asarray(active))
+    st = SimState(agents=agents, key=jax.random.PRNGKey(0), step=jnp.int32(0))
+    dfield, obstacles = device_inputs(cfg, maps)
+    step = jax.jit(make_step(cfg, maps))
+    for _ in range(N_STEPS):
+        st, _ = step(st, dfield.rows, obstacles)
+    a = st.agents
+    _compare(speed, o_pos, o_act, np.asarray(a.pos), np.asarray(a.active),
+             np.asarray(a.speed), "xla")
+
+
+def test_grid_backend_matches_oracle(setup):
+    sc, field, maps, cfg, pos, vel, speed, dest, active = setup
+    o_pos, o_act = _oracle_traj(sc, field, pos, vel, speed, dest, active)
+
+    agents = AgentState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                        speed=jnp.asarray(speed), dest=jnp.asarray(dest),
+                        active=jnp.asarray(active))
+    st = SimState(agents=agents, key=jax.random.PRNGKey(0), step=jnp.int32(0))
+    gs = sfm_grid.bin_state(cfg, st)
+    fwp, fobs = map(jnp.asarray, sfm_pallas.pallas_device_inputs(cfg, maps))
+    step = jax.jit(sfm_grid.make_step_grid(cfg, maps))
+    for _ in range(N_STEPS):
+        gs, _ = step(gs, fwp, fobs)
+    flat = sfm_grid.unbin_state(cfg, gs)
+    a = flat.agents
+    _compare(speed, o_pos, o_act, np.asarray(a.pos), np.asarray(a.active),
+             np.asarray(a.speed), "grid")
