@@ -251,6 +251,11 @@ def _headless_loop(args, sim, diag, interrupted, renderer, keys,
             time.sleep(0.05)
             continue
         rec = sim.tick()
+        if args.profile and sim.step_count % 100 == 1:
+            # Periodic timed fence: isolate device kernel time from the
+            # spawn/metric/host overhead (fills the diagnostic slot the
+            # reference measured and discarded, sfm_gpu.rs:229-236).
+            rec.time_calc_state_kernel = sim.measure_kernel_time()
         diag.push(rec)
         if viewer is not None:
             viewer.set_step(sim.step_count)

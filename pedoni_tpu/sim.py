@@ -116,6 +116,7 @@ class Simulator:
         o = self.options
         self._mesh = None
         self._tcfg = None
+        self._kernel_chain = None  # shapes depend on capacity/K
         self.cfg = StepConfig.build(
             self.scenario,
             physics=o.physics,
@@ -219,7 +220,16 @@ class Simulator:
                             self.step_count, n_dropped)
         if self.options.backend == "grid":
             if int(metrics.n_overflow) > 0:
+                # Reactive fallback: a cell jumped past K within one step
+                # (several agents converged at once) before the preemptive
+                # trigger below could fire.  The overflow is counted.
                 self._grow_table(int(metrics.n_overflow))
+            elif int(metrics.max_demand) >= self.options.table_capacity - 1:
+                # Drop-free growth: the rebin's demand channel says some
+                # cell is one agent short of K — grow BEFORE it overflows
+                # (cells gain at most a few agents per step, so K-1 is an
+                # early-warning threshold, not a cliff).
+                self._grow_table(0)
         elif n_active > 0.8 * self.cfg.capacity:
             self._grow()
 
@@ -233,8 +243,11 @@ class Simulator:
         """Advance ``n_steps`` without per-step host syncs (throughput
         mode): metrics stay on device and only the final step's record is
         fetched.  ``sync_every`` > 0 adds periodic syncs to bound the
-        dispatch queue.  Capacity growth is NOT monitored here — size the
-        capacity up front (the n_dropped metric still reports losses)."""
+        dispatch queue; at each sync point the grid backend ALSO checks
+        table saturation (peak cell demand >= K-1) and grows K drop-free,
+        so long throughput runs survive densification.  Flat-capacity
+        growth is still not monitored here — size the capacity up front
+        (the n_dropped metric reports any losses)."""
         metrics = None
         with Timer() as t:
             for i in range(n_steps):
@@ -242,7 +255,12 @@ class Simulator:
                     self.state, self._field_rows, self._obstacles
                 )
                 if sync_every and (i + 1) % sync_every == 0:
-                    jax.block_until_ready(self.state)
+                    if (self.options.backend == "grid"
+                            and int(metrics.max_demand)
+                            >= self.options.table_capacity - 1):
+                        self._grow_table(0)  # int() above already synced
+                    else:
+                        jax.block_until_ready(self.state)
             n_active = int(metrics.n_active)
         self.step_count += n_steps
         return StepRecord(
@@ -252,22 +270,54 @@ class Simulator:
         )
 
     def _grow_table(self, n_lost: int) -> None:
-        """Grid backend: a cell overflowed its K slots — grow K and re-bin
-        (the dropped agents from the overflowing step are already counted;
-        growth prevents further losses, mirroring the flat capacity
-        growth)."""
+        """Grid backend: grow the per-cell table K and re-bin.
+
+        Called preemptively (n_lost == 0) when peak demand reaches K-1 —
+        no agent has been dropped — or reactively when a cell actually
+        overflowed (the dropped agents from that step are counted)."""
         old_k = self.options.table_capacity
         flat = self._to_flat_state()
         self.options = dataclasses.replace(
             self.options, table_capacity=old_k + max(4, old_k // 2)
         )
-        log.warning(
-            "step %d: %d agents dropped from full cells; growing "
-            "table_capacity %d -> %d",
-            self.step_count, n_lost, old_k, self.options.table_capacity,
-        )
+        if n_lost:
+            log.warning(
+                "step %d: %d agents dropped from full cells; growing "
+                "table_capacity %d -> %d",
+                self.step_count, n_lost, old_k, self.options.table_capacity,
+            )
+        else:
+            log.info(
+                "step %d: peak cell demand reached %d; growing "
+                "table_capacity %d -> %d preemptively (drop-free)",
+                self.step_count, old_k - 1, old_k, self.options.table_capacity,
+            )
         self._build(self.cfg.capacity)
         self.state = self._from_flat_state(flat)
+
+    def measure_kernel_time(self, n: int = 10) -> float | None:
+        """Device-side execution time (seconds/step) of the two Pallas
+        kernels alone — the ``time_calc_state_kernel`` diagnostic slot
+        (the reference measured this and threw it away,
+        sfm_gpu.rs:229-236).  Chains the kernels-only step n times from
+        the current state and fences on a scalar fetch (the only
+        trustworthy sync on tunneled backends).  Grid backend,
+        single-device only; returns None elsewhere."""
+        if self.options.backend != "grid" or self._tcfg is not None:
+            return None
+        from .models import sfm_grid
+
+        if getattr(self, "_kernel_chain", None) is None:
+            self._kernel_chain = jax.jit(sfm_grid.make_kernel_chain(
+                self.cfg, self.maps, row_block=self.options.row_block))
+        d = self._kernel_chain(self.state.d, self._field_rows,
+                               self._obstacles)  # warm + drain the queue
+        float(d[0, 0, 0, 0])
+        with Timer() as t:
+            for _ in range(n):
+                d = self._kernel_chain(d, self._field_rows, self._obstacles)
+            float(d[0, 0, 0, 0])
+        return t.elapsed / n
 
     def _to_flat_state(self):
         """The state as flat agent arrays (SimState) regardless of backend

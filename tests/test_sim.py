@@ -193,3 +193,49 @@ def test_run_throughput_mode():
     assert rec.time_calc_state > 0
     pos, _ = sim.list_pedestrians()
     assert np.isfinite(pos).all()
+
+
+CONVERGE = """
+[field]
+size = [18, 12]
+[[waypoints]]
+line = [[16, 2], [16, 10]]
+"""
+
+
+def test_grid_table_growth_is_drop_free():
+    """Forced densification on the grid backend: peak cell demand reaching
+    K-1 grows table_capacity BEFORE any cell overflows (rebin demand_max
+    output -> Simulator preemptive growth), so no agent is ever lost."""
+    import jax
+    import jax.numpy as jnp
+
+    from pedoni_tpu.models.sfm import AgentState, SimState
+
+    sim = make_sim(CONVERGE, backend="grid", table_capacity=4, seed=0)
+    cap = sim.cfg.capacity
+    pos = np.zeros((cap, 2), np.float32)
+    vel = np.zeros((cap, 2), np.float32)
+    # 3 agents in cell (0,1) walking right toward cell (0,2), which
+    # already holds 3 = K-1 agents: the first tick reports demand K-1
+    # and must grow the table BEFORE the movers arrive (~3 steps at
+    # <= 0.174 m/step) and overflow K=4.
+    for i, y in enumerate((0.25, 0.75, 1.25)):
+        pos[i] = (2.5, y)
+        pos[3 + i] = (3.8, y)
+        vel[i] = vel[3 + i] = (1.0, 0.0)
+    agents = AgentState(
+        pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+        speed=jnp.full((cap,), 1.34, jnp.float32),
+        dest=jnp.zeros((cap,), jnp.int32),
+        active=jnp.asarray(np.arange(cap) < 6),
+    )
+    sim.state = sim._from_flat_state(
+        SimState(agents=agents, key=jax.random.PRNGKey(0), step=jnp.int32(0)))
+    assert sim.pedestrian_count == 6
+    for _ in range(12):
+        rec = sim.tick()
+        # far from the waypoint and inside the field: any count drop
+        # would be an overflow loss
+        assert rec.active_ped_count == 6
+    assert sim.options.table_capacity > 4  # growth actually happened
