@@ -81,7 +81,10 @@ def build(n_agents: int, density: float, seed: int, backend: str,
     )
 
     rng = np.random.default_rng(seed)
-    pos = rng.uniform(2.0, side - 2.0, size=(capacity, 2)).astype(np.float32)
+    pos = np.stack([
+        rng.uniform(2.0, w - 2.0, size=capacity),
+        rng.uniform(2.0, h - 2.0, size=capacity),
+    ], axis=1).astype(np.float32)
     vel = np.zeros((capacity, 2), np.float32)
     speed = np.clip(rng.normal(1.34, 0.26, capacity), 0.1, None).astype(np.float32)
     dest = np.zeros((capacity,), np.int32)
@@ -143,6 +146,10 @@ def main() -> int:
     ap.add_argument("--row-block", type=int, default=2,
                     help="cell rows per kernel block (grid/pallas backends)")
     ap.add_argument("--chunk-size", type=int, default=16384)
+    ap.add_argument("--domain", default="auto", choices=["auto", "square"],
+                    help="auto = lane-exact rectangle for the grid backend "
+                         "(100%% lane utilization, same area/density/"
+                         "physics); square = the legacy square field")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -166,6 +173,7 @@ def main() -> int:
             step, state, cfg = build(
                 args.agents, args.density, args.seed, args.backend,
                 args.table_capacity, args.chunk_size, args.row_block,
+                args.domain,
             )
             if args.backend != "xla":  # force compile inside the guard
                 state, _ = step(state)
