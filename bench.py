@@ -51,7 +51,11 @@ def build(n_agents: int, density: float, seed: int, backend: str,
         # divisible by 8.  --domain square keeps the legacy square for
         # A/B comparisons.
         unit = 1.5
-        nx = max(1, round(side / unit / 128)) * 128 - 3
+        # ceil, not round: of the two lane-exact aspect ratios nearest
+        # the square, the WIDER one has the same cell count but fewer
+        # kernel blocks (rows/row_block), so less per-block fixed
+        # overhead (DMA issue + loop prologue, ~203 ns/trip).
+        nx = max(1, int(np.ceil(side / unit / 128))) * 128 - 3
         w = nx * unit
         h = area / w
     else:
