@@ -102,25 +102,47 @@ def _sample_row(fwin, base_row: int, q0, p0, tx, ty, channels=(0, 1, 2),
 
 
 def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_hbm,
-            window, fwp, fobs, act_scr, outbuf, sems, *, rb: int, k: int,
+            window2, fwp2, fobs2, act_scr, outbuf, sems, out_sem, *, rb: int, k: int,
             n_wp: int, phys: Physics, grid_w: float, grid_h: float,
             stride: int = STRIDE, inv_unit: float = 4.0):
     i = pl.program_id(0)
 
-    cp = pltpu.make_async_copy(d_hbm.at[pl.ds(i * rb, rb + 2)], window, sems.at[0])
-    cp.start()
-    fstart = i * (stride * rb) + ROW0
-    cw = pltpu.make_async_copy(
-        fwp_hbm.at[:, pl.ds(fstart, fwp.shape[1])], fwp, sems.at[1]
-    )
-    cw.start()
-    co = pltpu.make_async_copy(
-        fobs_hbm.at[pl.ds(fstart, fobs.shape[0])], fobs, sems.at[2]
-    )
-    co.start()
-    cp.wait()
-    cw.wait()
-    co.wait()
+    # Double-buffered input DMA: block i computes out of slot i%2 while
+    # block i+1's window + field slabs stream into the other slot — the
+    # ~3.5 MB/block of input traffic is hidden behind compute instead of
+    # serializing in front of it (the wait used to head every block).
+    # Descriptors are re-created at wait time (same src/dst/semaphore),
+    # the standard Pallas pattern for cross-iteration copies.
+    slot = jax.lax.rem(i, 2)
+
+    def _copies(j, s):
+        flen = fwp2.shape[2]
+        fstart = j * (stride * rb) + ROW0
+        return (
+            pltpu.make_async_copy(d_hbm.at[pl.ds(j * rb, rb + 2)],
+                                  window2.at[s], sems.at[s, 0]),
+            pltpu.make_async_copy(fwp_hbm.at[:, pl.ds(fstart, flen)],
+                                  fwp2.at[s], sems.at[s, 1]),
+            pltpu.make_async_copy(fobs_hbm.at[pl.ds(fstart, flen)],
+                                  fobs2.at[s], sems.at[s, 2]),
+        )
+
+    @pl.when(i == 0)
+    def _issue_first():
+        for c in _copies(0, 0):
+            c.start()
+
+    for c in _copies(i, slot):
+        c.wait()
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _prefetch_next():
+        for c in _copies(i + 1, 1 - slot):
+            c.start()
+
+    window = window2.at[slot]
+    fwp = fwp2.at[slot]
+    fobs = fobs2.at[slot]
 
     # Fault containment: a non-finite pos/vel (corrupt checkpoint, any
     # upstream bug) would otherwise POISON every neighbor through the
@@ -304,7 +326,7 @@ def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_hbm,
     # never pad.  The output DMA is ~0.3 us/block vs ~70 us of compute,
     # so start+wait (no double buffering) costs nothing measurable.
     co = pltpu.make_async_copy(
-        outbuf, out_hbm.at[pl.ds(i * rb + 1, rb)], sems.at[3])
+        outbuf, out_hbm.at[pl.ds(i * rb + 1, rb)], out_sem)
     co.start()
     co.wait()
 
@@ -312,7 +334,7 @@ def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_hbm,
     def _write_top_ghost():
         outbuf[0:1] = jnp.zeros_like(outbuf[0:1])
         cz = pltpu.make_async_copy(
-            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(0, 1)], sems.at[3])
+            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(0, 1)], out_sem)
         cz.start()
         cz.wait()
 
@@ -321,7 +343,7 @@ def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_hbm,
         outbuf[0:1] = jnp.zeros_like(outbuf[0:1])
         nyp1 = pl.num_programs(0) * rb + 1
         cz = pltpu.make_async_copy(
-            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(nyp1, 1)], sems.at[3])
+            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(nyp1, 1)], out_sem)
         cz.start()
         cz.wait()
 
@@ -391,12 +413,13 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((ny_pad + 2, k, 8, nxl), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rb + 2, k, 8, nxl), jnp.float32),
-            pltpu.VMEM((n_wp, flen, stride, N_CH, nxl), jnp.float32),
-            pltpu.VMEM((flen, stride, N_CH, nxl), jnp.float32),
+            pltpu.VMEM((2, rb + 2, k, 8, nxl), jnp.float32),
+            pltpu.VMEM((2, n_wp, flen, stride, N_CH, nxl), jnp.float32),
+            pltpu.VMEM((2, flen, stride, N_CH, nxl), jnp.float32),
             pltpu.VMEM((rb + 2, k, nxl), jnp.float32),
             pltpu.VMEM((rb, k, 8, nxl), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
