@@ -131,7 +131,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--agents", type=int, default=1_000_000)
     ap.add_argument("--density", type=float, default=2.5, help="agents per m^2")
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=80)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backend", default="grid",
@@ -214,6 +214,13 @@ def main() -> int:
     # the minute (measured same-code drift 21-29 ms/step, PLAN.md): time
     # several windows and report the fastest — standard hot-lap practice;
     # the chip's own step time is the minimum, congestion only adds.
+    # Windows are 20 steps (not 5): the scalar fetch that fences each
+    # window drains the dispatch pipeline and pays a tunnel round trip,
+    # which at 5-step windows added ~4 ms/step of pure host/tunnel
+    # latency to the chip's sustained rate (profile_step.py's 30-step
+    # chain measures the same kernels ~17 ms/step vs 20.6 reported by
+    # the 5-step windows).  Sustained throughput is the honest metric
+    # for a production sim, which runs thousands of steps per sync.
     window = max(1, args.steps // 4)
     best = float("inf")
     n_active = 0

@@ -58,14 +58,29 @@ from .step_kernel import _shift_lane
 
 
 def _kernel(jmax_ref, roff_ref, coff_ref, g_hbm, out_hbm, ovf_ref, dmx_ref,
-            window, outbuf, sems, *,
+            window2, outbuf, sems, out_sem, *,
             rb: int, k: int, unit: float, nx_cells: int, ny_cells: int,
             nx_local: int):
     i = pl.program_id(0)
-    cp = pltpu.make_async_copy(g_hbm.at[pl.ds(i * rb, rb + 2)], window,
-                               sems.at[0])
-    cp.start()
-    cp.wait()
+    # Double-buffered input DMA (same pattern as step_kernel): block
+    # i+1's window streams in behind block i's compute.
+    slot = jax.lax.rem(i, 2)
+
+    def _copy(j, s):
+        return pltpu.make_async_copy(g_hbm.at[pl.ds(j * rb, rb + 2)],
+                                     window2.at[s], sems.at[s])
+
+    @pl.when(i == 0)
+    def _issue_first():
+        _copy(0, 0).start()
+
+    _copy(i, slot).wait()
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _prefetch_next():
+        _copy(i + 1, 1 - slot).start()
+
+    window = window2.at[slot]
 
     nxl = window.shape[-1]
     # Output cell at LOCAL lane l is global cell x = col_offset + l - 1;
@@ -143,7 +158,7 @@ def _kernel(jmax_ref, roff_ref, coff_ref, g_hbm, out_hbm, ovf_ref, dmx_ref,
     dmx_ref[i] = jnp.max(cnt)
 
     co = pltpu.make_async_copy(
-        outbuf, out_hbm.at[pl.ds(i * rb + 1, rb)], sems.at[1])
+        outbuf, out_hbm.at[pl.ds(i * rb + 1, rb)], out_sem)
     co.start()
     co.wait()
 
@@ -151,7 +166,7 @@ def _kernel(jmax_ref, roff_ref, coff_ref, g_hbm, out_hbm, ovf_ref, dmx_ref,
     def _write_top_ghost():
         outbuf[0:1] = jnp.zeros_like(outbuf[0:1])
         cz = pltpu.make_async_copy(
-            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(0, 1)], sems.at[1])
+            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(0, 1)], out_sem)
         cz.start()
         cz.wait()
 
@@ -160,7 +175,7 @@ def _kernel(jmax_ref, roff_ref, coff_ref, g_hbm, out_hbm, ovf_ref, dmx_ref,
         outbuf[0:1] = jnp.zeros_like(outbuf[0:1])
         nyp1 = pl.num_programs(0) * rb + 1
         cz = pltpu.make_async_copy(
-            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(nyp1, 1)], sems.at[1])
+            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(nyp1, 1)], out_sem)
         cz.start()
         cz.wait()
 
@@ -230,9 +245,10 @@ def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
             jax.ShapeDtypeStruct((nb,), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rb + 2, k, 8, nxl), jnp.float32),
+            pltpu.VMEM((2, rb + 2, k, 8, nxl), jnp.float32),
             pltpu.VMEM((rb, k, 8, nxl), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(jmax, row_offset, col_offset, g)
