@@ -41,23 +41,39 @@ def build(n_agents: int, density: float, seed: int, backend: str,
 
     area = n_agents / density
     side = float(np.sqrt(area))
-    if domain == "auto" and backend == "grid":
-        # Lane-exact domain: the grid kernels vectorize cell COLUMNS over
-        # the 128-lane axis, so a field whose cell-column count + 3 ghost
-        # /pad lanes is an exact multiple of 128 wastes zero lanes (the
-        # square 1M field pads 425 -> 512: 17% dead lanes).  Same area,
-        # same density, same physics and coverage — sizing the domain to
-        # the hardware tile is the TPU analog of picking a batch size
-        # divisible by 8.  --domain square keeps the legacy square for
-        # A/B comparisons.
+    if domain.startswith("tiles:") and backend == "grid":
+        # Fixed lane-tile count (experiment knob): nx+3 = 128*t cell
+        # columns regardless of agent count; the field grows taller to
+        # keep area/density/physics identical.
         unit = 1.5
-        # ceil, not round: of the two lane-exact aspect ratios nearest
-        # the square, the WIDER one has the same cell count but fewer
-        # kernel blocks (rows/row_block), so less per-block fixed
-        # overhead (DMA issue + loop prologue, ~203 ns/trip).
-        nx = max(1, int(np.ceil(side / unit / 128))) * 128 - 3
+        nx = int(domain.split(":")[1]) * 128 - 3
         w = nx * unit
         h = area / w
+    elif domain == "auto" and backend == "grid":
+        # Lane-exact domain at the measured lane-width sweet spot: the
+        # grid kernels vectorize cell COLUMNS over the 128-lane axis, so
+        # a field whose cell-column count + 3 ghost/pad lanes is an
+        # exact multiple of 128 wastes zero lanes — and the per-lane
+        # cost is NOT flat in width: an 8-device-scale A/B at 8M agents
+        # measured (ms per 1M agents) 640 lanes 14.78, 768 13.88,
+        # 896 12.69, 1280 15.72 — and at 1M, 896 lanes beat the
+        # near-square 512-lane shape 14.7 vs 17.7 ms.  Narrower pays
+        # per-block fixed costs (DMA issue + ~203 ns/trip loop
+        # overhead x more row blocks), wider pays a Mosaic scheduling
+        # penalty past ~896 lanes (larger VMEM working set per block).
+        # So: 896 lanes (7 tiles) whenever the field keeps enough rows
+        # to amortize, narrower only for tiny fields.  Same area, same
+        # density, same physics and coverage — sizing the domain to the
+        # hardware tile is the TPU analog of picking a batch size
+        # divisible by 8.  --domain square keeps the legacy square for
+        # A/B comparisons; --domain tiles:T forces a width.
+        unit = 1.5
+        for t in range(7, 0, -1):
+            nx = t * 128 - 3
+            w = nx * unit
+            h = area / w
+            if h / unit >= 16 or t == 1:
+                break
     else:
         w = h = side
     scenario = Scenario(
@@ -150,12 +166,15 @@ def main() -> int:
     ap.add_argument("--row-block", type=int, default=2,
                     help="cell rows per kernel block (grid/pallas backends)")
     ap.add_argument("--chunk-size", type=int, default=16384)
-    ap.add_argument("--domain", default="auto", choices=["auto", "square"],
-                    help="auto = lane-exact rectangle for the grid backend "
-                         "(100%% lane utilization, same area/density/"
-                         "physics); square = the legacy square field")
+    ap.add_argument("--domain", default="auto",
+                    help="auto = lane-exact rectangle at the measured "
+                         "896-lane sweet spot (100%% lane utilization, same "
+                         "area/density/physics); square = the legacy square "
+                         "field; tiles:T = force T 128-lane tiles of width")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
+    if args.domain not in ("auto", "square") and not args.domain.startswith("tiles:"):
+        ap.error(f"--domain must be auto, square, or tiles:T (got {args.domain!r})")
 
     import pathlib
 
