@@ -255,11 +255,16 @@ def make_kernel_chain(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
     nb = ny_pad // rb
     interpret = jax.default_backend() != "tpu"
 
+    from .sfm_pallas import debug_segments
+
+    segs = debug_segments(cfg)
+
     def chain(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray):
         jmax = occupancy_bound(d, rb, nb, k)
         g = fused_step_kernel(d, fwp, fobs, cfg.physics, cfg.scenario.size,
                               row_block=rb, interpret=interpret, jmax=jmax,
-                              stride=stride, field_unit=cfg.field_unit)
+                              stride=stride, field_unit=cfg.field_unit,
+                              segments=segs)
         d2, _ovf, _dmx = rebin_kernel(g, cfg.grid.unit, cfg.grid.nx,
                                       cfg.grid.ny, row_block=rb,
                                       interpret=interpret, jmax=jmax)
@@ -276,9 +281,10 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
             "grid backend needs an integral neighbor/field unit ratio and "
             "waypoint planes fitting VMEM (see sfm_pallas.supports)"
         )
-    from .sfm_pallas import stride_for
+    from .sfm_pallas import debug_segments, stride_for
 
     stride = stride_for(cfg)
+    segs = debug_segments(cfg)
     phys = cfg.physics
     grid = cfg.grid
     dims = GridDims.build(cfg, row_block)
@@ -305,7 +311,8 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
         jmax = _jmax(d)
         g = fused_step_kernel(d, fwp, fobs, phys, cfg.scenario.size,
                               row_block=rb, interpret=interpret, jmax=jmax,
-                              stride=stride, field_unit=cfg.field_unit)
+                              stride=stride, field_unit=cfg.field_unit,
+                              segments=segs)
         n_active = jnp.sum(g[:, :, 6, :]).astype(jnp.int32)
 
         # Both kernels emit ghost-carrying arrays, so the rebin consumes

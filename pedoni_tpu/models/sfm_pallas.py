@@ -46,6 +46,20 @@ def stride_for(cfg: StepConfig) -> int | None:
     return s
 
 
+def debug_segments(cfg: StepConfig) -> tuple | None:
+    """Static obstacle geometry for the --no-distance-map kernel mode
+    (reference args.rs:27-31, sfm.rs:194-237): None on the default path,
+    else ((x0, y0, x1, y1, width), ...) baked into the kernel as
+    compile-time constants (obstacles never move during a run)."""
+    if cfg.use_distance_map:
+        return None
+    return tuple(
+        (float(s.line[0][0]), float(s.line[0][1]),
+         float(s.line[1][0]), float(s.line[1][1]), float(s.width))
+        for s in cfg.scenario.obstacles
+    )
+
+
 def vmem_need_bytes(cfg: StepConfig, row_block: int = 2) -> int:
     """Kernel VMEM footprint: field windows (all waypoint planes resident)
     + the agent window/output/scratch."""
@@ -156,7 +170,8 @@ def make_step_pallas(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
         ]).astype(jnp.int32)
         out = fused_step_kernel(dk, fwp, fobs, phys, cfg.scenario.size,
                                 row_block=rb, interpret=interpret, jmax=win,
-                                stride=stride, field_unit=cfg.field_unit)
+                                stride=stride, field_unit=cfg.field_unit,
+                                segments=debug_segments(cfg))
         out = out[1:-1]  # drop the ghost-carrying rows (this flat path
         #                  pays XLA glue per step anyway; the grid backend
         #                  is the one that consumes ghosts in place)

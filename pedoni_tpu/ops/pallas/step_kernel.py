@@ -101,10 +101,69 @@ def _sample_row(fwin, base_row: int, q0, p0, tx, ty, channels=(0, 1, 2),
     return [out[ci] for ci in channels]
 
 
+def _segment_accel(posx, posy, segments, phys: Physics):
+    """Exact per-segment obstacle acceleration — the reference's
+    --no-distance-map fallback (sfm.rs:194-237), unrolled over the STATIC
+    obstacle list (obstacle geometry never changes during a run, so each
+    rectangle's 4 edges are baked in as compile-time constants; ~50 wide
+    ops per obstacle per center row — a debug mode, not the fast path).
+
+    Mirrors ops/forces.segment_obstacle_force exactly: nearest of the 4
+    edges of the width-widened rectangle repels along (pos - closest);
+    agents INSIDE the rectangle are skipped.  Min selection runs on
+    squared distances (monotone, first-min semantics preserved by the
+    strict < update).  Sanitized garbage slots (|pos| = 2^30) stay
+    finite: exp underflows to 0 and the 1/d divisor is ~1e-9.
+    """
+    afx = jnp.zeros_like(posx)
+    afy = jnp.zeros_like(posx)
+    for (x0, y0, x1, y1, width) in segments:
+        dx_ = x1 - x0
+        dy_ = y1 - y0
+        h = max((dx_ * dx_ + dy_ * dy_) ** 0.5, 1e-6)
+        nx_ = dy_ / h * (width * 0.5)
+        ny_ = -dx_ / h * (width * 0.5)
+        p0p = (x0 + nx_, y0 + ny_)
+        p0m = (x0 - nx_, y0 - ny_)
+        p1p = (x1 + nx_, y1 + ny_)
+        p1m = (x1 - nx_, y1 - ny_)
+        # edge order matches forces.py (e0/e1 across the endpoints,
+        # e2/e3 the long sides) — the inside test depends on it.
+        edges = ((p0p, p0m), (p1p, p1m), (p0p, p1p), (p0m, p1m))
+        d2s, dxs, dys = [], [], []
+        for q0, q1 in edges:
+            sx = q1[0] - q0[0]
+            sy = q1[1] - q0[1]
+            il2 = 1.0 / max(sx * sx + sy * sy, 1e-12)
+            t = jnp.clip(((posx - q0[0]) * sx + (posy - q0[1]) * sy) * il2,
+                         0.0, 1.0)
+            ddx = posx - (q0[0] + t * sx)
+            ddy = posy - (q0[1] + t * sy)
+            d2s.append(ddx * ddx + ddy * ddy)
+            dxs.append(ddx)
+            dys.append(ddy)
+        inside = ((d2s[0] < width * width) & (d2s[1] < width * width)
+                  & (d2s[2] < h * h) & (d2s[3] < h * h))
+        best, bdx, bdy = d2s[0], dxs[0], dys[0]
+        for e in (1, 2, 3):
+            sel = d2s[e] < best
+            best = jnp.where(sel, d2s[e], best)
+            bdx = jnp.where(sel, dxs[e], bdx)
+            bdy = jnp.where(sel, dys[e], bdy)
+        dmin = jnp.sqrt(jnp.maximum(best, EPS))
+        coef = jnp.where(
+            inside, 0.0,
+            phys.obs_strength * jnp.exp(-dmin / phys.obs_range) / dmin)
+        afx = afx + coef * bdx
+        afy = afy + coef * bdy
+    return afx, afy
+
+
 def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_hbm,
             window2, fwp2, fobs2, act_scr, outbuf, sems, out_sem, *, rb: int, k: int,
             n_wp: int, phys: Physics, grid_w: float, grid_h: float,
-            stride: int = STRIDE, inv_unit: float = 4.0):
+            stride: int = STRIDE, inv_unit: float = 4.0,
+            segments: tuple | None = None):
     i = pl.program_id(0)
 
     # Double-buffered input DMA: block i computes out of slot i%2 while
@@ -230,9 +289,6 @@ def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_hbm,
             accfy.append(None)
             continue
 
-        dist, dgx, dgy = _sample_row(fobs, base_row, q0, p0, tx, ty,
-                                     stride=stride)
-
         # Goal force (sfm.rs:107-109); the Sobel points downhill.
         g_norm = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy, EPS))
         ex = gx * g_norm
@@ -240,11 +296,20 @@ def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_hbm,
         afx = (ex * speed - velx) / phys.relaxation_time
         afy = (ey * speed - vely) / phys.relaxation_time
 
-        # Obstacle force (sfm.rs:188-192): repel along -normalize(sobel).
-        d_norm = jax.lax.rsqrt(jnp.maximum(dgx * dgx + dgy * dgy, EPS))
-        mag = phys.obs_strength * jnp.exp(-dist / phys.obs_range)
-        afx = afx - mag * dgx * d_norm
-        afy = afy - mag * dgy * d_norm
+        if segments is None:
+            # Obstacle force from the pre-convolved distance map
+            # (sfm.rs:188-192): repel along -normalize(sobel).
+            dist, dgx, dgy = _sample_row(fobs, base_row, q0, p0, tx, ty,
+                                         stride=stride)
+            d_norm = jax.lax.rsqrt(jnp.maximum(dgx * dgx + dgy * dgy, EPS))
+            mag = phys.obs_strength * jnp.exp(-dist / phys.obs_range)
+            afx = afx - mag * dgx * d_norm
+            afy = afy - mag * dgy * d_norm
+        else:
+            # --no-distance-map debug mode: exact per-segment geometry.
+            sfx, sfy = _segment_accel(posx, posy, segments, phys)
+            afx = afx + sfx
+            afy = afy + sfy
 
         exs.append(ex)
         eys.append(ey)
@@ -355,7 +420,8 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
                       row_offset: jnp.ndarray | None = None,
                       col_offset: jnp.ndarray | None = None,
                       stride: int = STRIDE,
-                      field_unit: float = 0.25) -> jnp.ndarray:
+                      field_unit: float = 0.25,
+                      segments: tuple | None = None) -> jnp.ndarray:
     """Run the fused sample+forces+integrate kernel.
 
     d    [ny_pad+2, K, 8, NXL]  (NXL % 128 == 0, ny_pad % row_block == 0)
@@ -372,6 +438,11 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
     offset.
     stride / field_unit: the field layout (neighbor unit = stride *
     field_unit; see fields6.py).
+    segments: optional static obstacle geometry ((x0, y0, x1, y1, width)
+    per obstacle, world coordinates) — when given, the obstacle force
+    uses exact per-segment distances (the reference's --no-distance-map
+    mode, sfm.rs:194-237) instead of sampling ``fobs``; ``fobs`` is
+    still DMA'd (interface stability) but never read.
     Returns OUT [ny_pad+2, K, 8, NXL], ghost-carrying (rows 0 and
     ny_pad+1 zeroed).
     """
@@ -398,6 +469,7 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
         _kernel, rb=rb, k=k, n_wp=n_wp, phys=phys,
         grid_w=grid_size[0], grid_h=grid_size[1],
         stride=stride, inv_unit=1.0 / field_unit,
+        segments=segments,
     )
     return pl.pallas_call(
         kernel,

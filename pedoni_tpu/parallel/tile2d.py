@@ -52,7 +52,7 @@ from ..models.sfm_grid import (
     spawn_scatter,
     unbin_state,
 )
-from ..models.sfm_pallas import stride_for, supports
+from ..models.sfm_pallas import debug_segments, stride_for, supports
 from ..ops.pallas.fields6 import ROW0, Fields6
 from ..ops.pallas.rebin import rebin_kernel
 from ..ops.pallas.step_kernel import fused_step_kernel
@@ -270,6 +270,7 @@ def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh):
             row_block=rb, interpret=interpret, jmax=jmax,
             row_offset=row_lo[None], col_offset=col_lo[None],
             stride=stride_for(cfg), field_unit=cfg.field_unit,
+            segments=debug_segments(cfg),
         )
         # Ghost-lane outputs are computed from incomplete windows and
         # discarded: active counts read owned lanes only, and the column

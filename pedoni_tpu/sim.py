@@ -131,14 +131,16 @@ class Simulator:
         if o.backend in ("pallas", "grid"):
             from .models import sfm_grid, sfm_pallas
 
-            if not (o.use_neighbor_grid and o.use_distance_map):
-                # The fused kernels bake in the cell grid and the
-                # distance-map obstacle force; the all-pairs and
-                # per-segment debug modes (args.rs:27-31) run on the XLA
-                # backend only — fail loudly instead of ignoring flags.
+            if not o.use_neighbor_grid:
+                # The fused kernels ARE the cell grid (the state lives in
+                # it), so the all-pairs debug mode (args.rs:27-29) runs on
+                # the XLA backend only — fail loudly instead of ignoring
+                # the flag.  --no-distance-map IS supported here: the
+                # kernels switch to exact per-segment obstacle geometry
+                # (sfm.rs:194-237, statically unrolled).
                 raise ValueError(
-                    "--no-neighbor-grid / --no-distance-map require the "
-                    "xla backend (the fused kernels bake both in)"
+                    "--no-neighbor-grid requires the xla backend "
+                    "(the fused kernels bake the cell grid in)"
                 )
             if not sfm_pallas.supports(self.cfg, o.row_block):
                 raise ValueError(

@@ -151,15 +151,29 @@ def test_metrics_counts_finite():
     assert rec.time_calc_state > 0.0
 
 
-def test_fused_backends_reject_debug_modes():
-    """--no-neighbor-grid / --no-distance-map are XLA-only debug modes
-    (args.rs:27-31); the fused kernels bake both structures in and must
-    refuse loudly rather than silently ignore the flags."""
+def test_fused_backends_reject_all_pairs_mode():
+    """--no-neighbor-grid is an XLA-only debug mode (args.rs:27-29); the
+    fused kernels ARE the cell grid and must refuse loudly rather than
+    silently ignore the flag."""
     import pytest
 
-    for opts in ({"use_neighbor_grid": False}, {"use_distance_map": False}):
-        with pytest.raises(ValueError, match="xla backend"):
-            make_sim(STRAIGHT, backend="grid", **opts)
+    with pytest.raises(ValueError, match="xla backend"):
+        make_sim(STRAIGHT, backend="grid", use_neighbor_grid=False)
+
+
+def test_grid_backend_runs_segment_obstacle_mode():
+    """--no-distance-map DOES run on the grid backend: the kernel switches
+    to statically unrolled per-segment obstacle geometry (sfm.rs:194-237;
+    exactness vs the XLA segment pass is covered in test_step_kernel.py).
+    Here: the Simulator wiring accepts the flag and the physics stays
+    sane."""
+    sim = make_sim(NARROW_GAP, seed=6, backend="grid",
+                   use_distance_map=False)
+    for _ in range(10):
+        rec = sim.tick()
+    assert rec.active_ped_count > 0
+    pos, _ = sim.list_pedestrians()
+    assert np.isfinite(pos).all()
 
 
 def test_xla_nonfinite_velocity_contained():

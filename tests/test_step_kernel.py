@@ -3,7 +3,9 @@
 Builds a small scenario at neighbor unit 1.5 m, places agents, runs one
 fused-kernel step, and checks every output (positions, velocities, despawn
 flags, potential) against the same physics computed with the validated XLA
-ops."""
+ops.  Covered in both obstacle modes: the default distance-map sampling
+and the --no-distance-map per-segment geometry (sfm.rs:194-237, statically
+unrolled in the kernel)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -33,7 +35,7 @@ width = 1
 """
 
 
-def test_fused_kernel_matches_xla_step():
+def _run_fused_vs_xla(segment_mode: bool):
     phys = Physics()
     sc = loads_scenario(SCENARIO)
     field = Field.from_scenario(sc, unit=0.25)
@@ -64,8 +66,9 @@ def test_fused_kernel_matches_xla_step():
     from pedoni_tpu.models.sfm import StepConfig
 
     cfg = StepConfig.build(sc, capacity=n, neighbor_grid_unit=1.5,
-                           table_capacity=k)
-    dfield, _ = device_inputs(cfg, maps)
+                           table_capacity=k,
+                           use_distance_map=not segment_mode)
+    dfield, obstacles = device_inputs(cfg, maps)
     hp, wpc = maps.pot.shape[1], maps.pot.shape[2]
     fs = sample_field(dfield.rows, hp, wpc, jnp.asarray(dest_s),
                       jnp.asarray(pos_s), 0.25)
@@ -73,7 +76,12 @@ def test_fused_kernel_matches_xla_step():
     alive_ref = np.asarray(fs.potential) > phys.despawn_potential
     acc_ref = np.array(F.goal_force(e, jnp.asarray(vel_s),
                                     jnp.asarray(speed_s), phys))
-    acc_ref = acc_ref + np.asarray(F.obstacle_force(fs.obs_dist, fs.obs_grad, phys))
+    if segment_mode:
+        acc_ref = acc_ref + np.asarray(F.segment_obstacle_force(
+            jnp.asarray(pos_s), *obstacles, phys))
+    else:
+        acc_ref = acc_ref + np.asarray(
+            F.obstacle_force(fs.obs_dist, fs.obs_grad, phys))
 
     # Pairwise via the validated dense pass, with post-despawn actives.
     data = forcepass.scatter_cell_data(
@@ -90,7 +98,6 @@ def test_fused_kernel_matches_xla_step():
     # --- fused kernel ---
     slot = np.asarray(layout.slot)
     nxl = -(-(grid.nx + 3) // 128) * 128
-    d = np.zeros(((ny_pad + 2) * (grid.nx + 2) * k, 8), np.float32)
     rows = np.concatenate(
         [pos_s, vel_s, speed_s[:, None], dest_s[:, None].astype(np.float32),
          np.ones((n, 1), np.float32), np.zeros((n, 1), np.float32)], axis=1,
@@ -101,10 +108,16 @@ def test_fused_kernel_matches_xla_step():
     dk = np.zeros((ny_pad + 2, k, 8, nxl), np.float32)
     dk[: grid.ny + 2, :, :, : grid.nx + 2] = np.transpose(d_grid, (0, 2, 3, 1))
 
+    segs = None
+    if segment_mode:
+        segs = tuple(
+            (float(s.line[0][0]), float(s.line[0][1]),
+             float(s.line[1][0]), float(s.line[1][1]), float(s.width))
+            for s in sc.obstacles)
     f6 = Fields6.build(maps, grid.nx, ny_pad, lane_align=128)
     out = fused_step_kernel(
         jnp.asarray(dk), jnp.asarray(f6.wp), jnp.asarray(f6.obs),
-        phys, sc.size, row_block=rb, interpret=True,
+        phys, sc.size, row_block=rb, interpret=True, segments=segs,
     )
     out = np.asarray(out)
 
@@ -124,3 +137,14 @@ def test_fused_kernel_matches_xla_step():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(res[:, 2:4], np.asarray(v_ref),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_fused_kernel_matches_xla_step():
+    _run_fused_vs_xla(segment_mode=False)
+
+
+def test_fused_kernel_segment_obstacles_match_xla():
+    """--no-distance-map mode: the kernel's statically unrolled 4-edge
+    rectangle geometry must match ops/forces.segment_obstacle_force
+    (itself exact-value tested against sfm.rs:194-237)."""
+    _run_fused_vs_xla(segment_mode=True)
