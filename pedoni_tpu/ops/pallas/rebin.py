@@ -250,5 +250,8 @@ def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(jmax, row_offset, col_offset, g)
