@@ -256,6 +256,9 @@ def _headless_loop(args, sim, diag, interrupted, renderer, keys,
             # spawn/metric/host overhead (fills the diagnostic slot the
             # reference measured and discarded, sfm_gpu.rs:229-236).
             rec.time_calc_state_kernel = sim.measure_kernel_time()
+            t_spawn = sim.measure_spawn_time()
+            if t_spawn is not None:
+                rec.time_spawn = t_spawn
         diag.push(rec)
         if viewer is not None:
             viewer.set_step(sim.step_count)

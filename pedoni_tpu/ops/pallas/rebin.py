@@ -62,26 +62,77 @@ def _kernel(jmax_ref, roff_ref, coff_ref, g_hbm, out_hbm, ovf_ref, dmx_ref,
             rb: int, k: int, unit: float, nx_cells: int, ny_cells: int,
             nx_local: int):
     i = pl.program_id(0)
+    jmax = jmax_ref[i]
     # Double-buffered input DMA (same pattern as step_kernel): block
-    # i+1's window streams in behind block i's compute.
+    # i+1's window streams in behind block i's compute.  Empty-block
+    # skip (also as in step_kernel): jmax == 0 means no active agent in
+    # the window, so the fresh bins are empty by construction — the
+    # window DMA and the candidate walk are skipped; every start/wait is
+    # gated on the TARGET block's bound so semaphores stay balanced.
     slot = jax.lax.rem(i, 2)
 
     def _copy(j, s):
         return pltpu.make_async_copy(g_hbm.at[pl.ds(j * rb, rb + 2)],
                                      window2.at[s], sems.at[s])
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (jmax > 0))
     def _issue_first():
         _copy(0, 0).start()
 
-    _copy(i, slot).wait()
+    @pl.when(jmax > 0)
+    def _wait_input():
+        _copy(i, slot).wait()
 
-    @pl.when(i + 1 < pl.num_programs(0))
+    # (clamped read: jmax_ref[i+1] would be out of bounds on the last
+    # block — the condition masks the clamp's aliased value.)
+    nxt = jnp.minimum(i + 1, pl.num_programs(0) - 1)
+
+    @pl.when((i + 1 < pl.num_programs(0)) & (jmax_ref[nxt] > 0))
     def _prefetch_next():
         _copy(i + 1, 1 - slot).start()
 
-    window = window2.at[slot]
+    @pl.when(jmax == 0)
+    def _empty_block():
+        outbuf[:] = jnp.zeros_like(outbuf[:])
+        ovf_ref[i] = 0.0
+        dmx_ref[i] = 0.0
 
+    @pl.when(jmax > 0)
+    def _compute_block():
+        _compute(i, jmax, roff_ref, coff_ref, window2.at[slot], outbuf,
+                 ovf_ref, dmx_ref, rb=rb, k=k, unit=unit,
+                 nx_cells=nx_cells, ny_cells=ny_cells, nx_local=nx_local)
+
+    co = pltpu.make_async_copy(
+        outbuf, out_hbm.at[pl.ds(i * rb + 1, rb)], out_sem)
+    co.start()
+    co.wait()
+
+    @pl.when(i == 0)
+    def _write_top_ghost():
+        outbuf[0:1] = jnp.zeros_like(outbuf[0:1])
+        cz = pltpu.make_async_copy(
+            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(0, 1)], out_sem)
+        cz.start()
+        cz.wait()
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _write_bottom_ghost():
+        outbuf[0:1] = jnp.zeros_like(outbuf[0:1])
+        nyp1 = pl.num_programs(0) * rb + 1
+        cz = pltpu.make_async_copy(
+            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(nyp1, 1)], out_sem)
+        cz.start()
+        cz.wait()
+
+
+def _compute(i, jmax, roff_ref, coff_ref, window, outbuf, ovf_ref, dmx_ref,
+             *, rb: int, k: int, unit: float, nx_cells: int, ny_cells: int,
+             nx_local: int):
+    """The occupied-block body: walk the 9*jmax candidates and compact
+    them into fresh bins in ``outbuf``.  (``i`` = pl.program_id(0), passed
+    in: calling the primitive inside a pl.when body escapes the
+    interpret-mode evaluator.)"""
     nxl = window.shape[-1]
     # Output cell at LOCAL lane l is global cell x = col_offset + l - 1;
     # center row w is GLOBAL cell row row_offset + i*rb + w (positions are
@@ -101,7 +152,6 @@ def _kernel(jmax_ref, roff_ref, coff_ref, g_hbm, out_hbm, ovf_ref, dmx_ref,
     # channels 0-5 accumulate via one-hot MACs; the active channel needs no
     # accumulation — bins are compacted, so slot k is occupied iff k < cnt.
     outs = tuple(jnp.zeros((rb, k, nxl), jnp.float32) for _ in range(6))
-    jmax = jmax_ref[i]
 
     # All 9 window offsets in ONE fori body — loop-control/carry overhead
     # is paid per candidate slot, not per (dy, slot).  Compaction order is
@@ -156,28 +206,6 @@ def _kernel(jmax_ref, roff_ref, coff_ref, g_hbm, out_hbm, ovf_ref, dmx_ref,
     # them): the un-clamped cnt never leaves the kernel otherwise.
     ovf_ref[i] = jnp.sum(jnp.maximum(cnt - float(k), 0.0))
     dmx_ref[i] = jnp.max(cnt)
-
-    co = pltpu.make_async_copy(
-        outbuf, out_hbm.at[pl.ds(i * rb + 1, rb)], out_sem)
-    co.start()
-    co.wait()
-
-    @pl.when(i == 0)
-    def _write_top_ghost():
-        outbuf[0:1] = jnp.zeros_like(outbuf[0:1])
-        cz = pltpu.make_async_copy(
-            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(0, 1)], out_sem)
-        cz.start()
-        cz.wait()
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _write_bottom_ghost():
-        outbuf[0:1] = jnp.zeros_like(outbuf[0:1])
-        nyp1 = pl.num_programs(0) * rb + 1
-        cz = pltpu.make_async_copy(
-            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(nyp1, 1)], out_sem)
-        cz.start()
-        cz.wait()
 
 
 def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,

@@ -165,6 +165,7 @@ def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_hbm,
             stride: int = STRIDE, inv_unit: float = 4.0,
             segments: tuple | None = None):
     i = pl.program_id(0)
+    jmax = jmax_ref[i]
 
     # Double-buffered input DMA: block i computes out of slot i%2 while
     # block i+1's window + field slabs stream into the other slot — the
@@ -172,6 +173,16 @@ def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_hbm,
     # serializing in front of it (the wait used to head every block).
     # Descriptors are re-created at wait time (same src/dst/semaphore),
     # the standard Pallas pattern for cross-iteration copies.
+    #
+    # Empty-block skip: jmax == 0 means no active agent anywhere in this
+    # block's (rb+2)-row window (the occupancy bound is a max over the
+    # exchanged count channel), so the block's output is all-inactive by
+    # construction — every start/wait below is gated on the TARGET
+    # block's bound (consistently, so semaphores stay balanced) and the
+    # whole sampling + force + integrate body is skipped.  Uniform-density
+    # benches never take this path; sparse production grids (evacuation
+    # endgames, localized crowds in large fields) skip the full window +
+    # field-slab DMA and the per-row sampling pass for most blocks.
     slot = jax.lax.rem(i, 2)
 
     def _copies(j, s):
@@ -186,22 +197,72 @@ def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_hbm,
                                   fobs2.at[s], sems.at[s, 2]),
         )
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (jmax > 0))
     def _issue_first():
         for c in _copies(0, 0):
             c.start()
 
-    for c in _copies(i, slot):
-        c.wait()
+    @pl.when(jmax > 0)
+    def _wait_inputs():
+        for c in _copies(i, slot):
+            c.wait()
 
-    @pl.when(i + 1 < pl.num_programs(0))
+    # (clamped read: jmax_ref[i+1] would be out of bounds on the last
+    # block — the condition masks the clamp's aliased value.)
+    nxt = jnp.minimum(i + 1, pl.num_programs(0) - 1)
+
+    @pl.when((i + 1 < pl.num_programs(0)) & (jmax_ref[nxt] > 0))
     def _prefetch_next():
         for c in _copies(i + 1, 1 - slot):
             c.start()
 
-    window = window2.at[slot]
-    fwp = fwp2.at[slot]
-    fobs = fobs2.at[slot]
+    @pl.when(jmax == 0)
+    def _empty_block():
+        outbuf[:] = jnp.zeros_like(outbuf[:])
+
+    @pl.when(jmax > 0)
+    def _compute_block():
+        _compute(i, jmax, roff_ref, coff_ref, window2.at[slot],
+                 fwp2.at[slot], fobs2.at[slot], act_scr, outbuf, rb=rb,
+                 k=k, n_wp=n_wp, phys=phys, grid_w=grid_w, grid_h=grid_h,
+                 stride=stride, inv_unit=inv_unit, segments=segments)
+
+    # Ghost-carrying output: center rows land at [1 + i*rb, 1 + i*rb + rb);
+    # the edge blocks also zero the ghost rows so downstream consumers
+    # never pad.  The output DMA is ~0.3 us/block vs ~70 us of compute,
+    # so start+wait (no double buffering) costs nothing measurable.
+    co = pltpu.make_async_copy(
+        outbuf, out_hbm.at[pl.ds(i * rb + 1, rb)], out_sem)
+    co.start()
+    co.wait()
+
+    @pl.when(i == 0)
+    def _write_top_ghost():
+        outbuf[0:1] = jnp.zeros_like(outbuf[0:1])
+        cz = pltpu.make_async_copy(
+            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(0, 1)], out_sem)
+        cz.start()
+        cz.wait()
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _write_bottom_ghost():
+        outbuf[0:1] = jnp.zeros_like(outbuf[0:1])
+        nyp1 = pl.num_programs(0) * rb + 1
+        cz = pltpu.make_async_copy(
+            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(nyp1, 1)], out_sem)
+        cz.start()
+        cz.wait()
+
+
+def _compute(i, jmax, roff_ref, coff_ref, window, fwp, fobs, act_scr,
+             outbuf, *, rb: int, k: int, n_wp: int, phys: Physics,
+             grid_w: float, grid_h: float, stride: int, inv_unit: float,
+             segments: tuple | None):
+    """The occupied-block body: sanitize, sample, forces, integrate,
+    fill ``outbuf`` with the post-step center rows.  (``i``/``jmax`` =
+    pl.program_id(0) and this block's occupancy bound, passed in: calling
+    the primitive inside a pl.when body escapes the interpret-mode
+    evaluator.)"""
 
     # Fault containment: a non-finite pos/vel (corrupt checkpoint, any
     # upstream bug) would otherwise POISON every neighbor through the
@@ -339,7 +400,6 @@ def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_hbm,
     # All 9 window offsets sit in ONE fori body: the loop-control and
     # carry overhead (~200 ns/trip measured, PLAN.md) is paid once per
     # candidate slot instead of once per (dy, slot).
-    jmax = jmax_ref[pl.program_id(0)]
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
 
     def body(j, acc):
@@ -385,32 +445,6 @@ def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_hbm,
     outbuf[:, :, 5, :] = window[1 : 1 + rb, :, 5, :]
     outbuf[:, :, 6, :] = act_c
     outbuf[:, :, 7, :] = jnp.stack(pots[1 : 1 + rb])
-
-    # Ghost-carrying output: center rows land at [1 + i*rb, 1 + i*rb + rb);
-    # the edge blocks also zero the ghost rows so downstream consumers
-    # never pad.  The output DMA is ~0.3 us/block vs ~70 us of compute,
-    # so start+wait (no double buffering) costs nothing measurable.
-    co = pltpu.make_async_copy(
-        outbuf, out_hbm.at[pl.ds(i * rb + 1, rb)], out_sem)
-    co.start()
-    co.wait()
-
-    @pl.when(i == 0)
-    def _write_top_ghost():
-        outbuf[0:1] = jnp.zeros_like(outbuf[0:1])
-        cz = pltpu.make_async_copy(
-            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(0, 1)], out_sem)
-        cz.start()
-        cz.wait()
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _write_bottom_ghost():
-        outbuf[0:1] = jnp.zeros_like(outbuf[0:1])
-        nyp1 = pl.num_programs(0) * rb + 1
-        cz = pltpu.make_async_copy(
-            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(nyp1, 1)], out_sem)
-        cz.start()
-        cz.wait()
 
 
 def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,

@@ -321,6 +321,37 @@ class Simulator:
             float(d[0, 0, 0, 0])
         return t.elapsed / n
 
+    def measure_spawn_time(self, n: int = 10) -> float | None:
+        """Device-side execution time (seconds) of the spawn scatter alone
+        — the ``time_spawn`` diagnostic slot.  The reference times its
+        host-side spawn loop every step (lib.rs:68-74, diagnostic.rs:45);
+        our spawn is fused into the device step, so this isolates it the
+        same way :meth:`measure_kernel_time` isolates the kernels: jit the
+        spawn-only chain from the current state and fence on a scalar
+        fetch.  Grid backend, single-device only; returns None elsewhere,
+        0.0 when the scenario has no spawn sources."""
+        if self.options.backend != "grid" or self._tcfg is not None:
+            return None
+        if self.cfg.spawn.total == 0:
+            return 0.0
+        from .models import sfm_grid
+
+        if getattr(self, "_spawn_chain", None) is None:
+            def _chain(d, key):
+                for i in range(4):  # amortize the scalar-fetch fence
+                    d, _, _ = sfm_grid.spawn_scatter(
+                        self.cfg, d, jax.random.fold_in(key, i),
+                        row_lo=0, n_rows=d.shape[0] - 2)
+                return d
+            self._spawn_chain = jax.jit(_chain)
+        d = self._spawn_chain(self.state.d, self.state.key)  # warm + drain
+        float(d[0, 0, 0, 0])
+        with Timer() as t:
+            for _ in range(n):
+                d = self._spawn_chain(d, self.state.key)
+            float(d[0, 0, 0, 0])
+        return t.elapsed / (4 * n)
+
     def _to_flat_state(self):
         """The state as flat agent arrays (SimState) regardless of backend
         or device count — the checkpoint/render/diagnostic exchange

@@ -253,3 +253,19 @@ def test_grid_table_growth_is_drop_free():
         # would be an overflow loss
         assert rec.active_ped_count == 6
     assert sim.options.table_capacity > 4  # growth actually happened
+
+
+def test_measure_spawn_time_slot():
+    """The time_spawn diagnostic slot (reference lib.rs:68-74,
+    diagnostic.rs:45): on the grid backend the isolated spawn-scatter
+    fence returns a positive time; scenarios without spawn sources
+    report 0.0; non-grid backends report None (slot stays 0.0)."""
+    sim = make_sim(STRAIGHT, backend="grid", seed=2)
+    t = sim.measure_spawn_time(n=2)
+    assert t is not None and t > 0.0
+
+    no_spawn = make_sim(CONVERGE, backend="grid", seed=2)
+    assert no_spawn.measure_spawn_time(n=1) == 0.0
+
+    xla = make_sim(STRAIGHT, seed=2)
+    assert xla.measure_spawn_time() is None

@@ -147,3 +147,28 @@ def test_migration_across_columns():
     assert (gpos[:, 0] > 9.0).all()  # all four crossed into the right tile
     assert int(m.n_dropped) == 0
     assert int(m.n_overflow) == 0
+
+
+def test_localized_crowd_sparse_blocks():
+    """A crowd confined to the field's top-left corner: every tile is
+    non-degenerate but most kernel blocks have EMPTY windows, so the
+    per-block occupancy bound is 0 there and the empty-block skip
+    (ops/pallas/{step_kernel,rebin}.py) carries them — the tiled result
+    must still match the single-chip step exactly as in the dense case."""
+    maps, cfg, state0 = _setup(n=60, seed=9)
+    pos = np.asarray(state0.agents.pos)
+    keep = (pos[:, 0] < 6.0) & (pos[:, 1] < 4.5)
+    active = np.asarray(state0.agents.active) & keep
+    assert 4 <= active.sum() < 40
+    state0 = SimState(
+        agents=AgentState(pos=state0.agents.pos, vel=state0.agents.vel,
+                          speed=state0.agents.speed, dest=state0.agents.dest,
+                          active=jnp.asarray(active)),
+        key=state0.key, step=state0.step)
+    want, m1 = _run_single(maps, cfg, state0, n_steps=4)
+    got, mn = _run_tiled(maps, cfg, state0, n_steps=4, rows=2, cols=2)
+    assert int(mn.n_active) == int(m1.n_active)
+    assert int(mn.n_spawned) == int(m1.n_spawned)
+    a, b = _active_set(want.agents), _active_set(got.agents)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, rtol=1e-3, atol=2e-2)
