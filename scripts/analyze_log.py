@@ -36,6 +36,15 @@ def analyze(path: str) -> dict:
             sum(counts) / sum(times) if times and sum(times) > 0 else 0.0
         ),
     }
+    # --profile runs populate the kernel/spawn slots every 100 steps
+    # (Simulator.measure_kernel_time / measure_spawn_time); report the
+    # sampled means when present.
+    kern = [t for t in sm.get("time_calc_state_kernel") or [] if t]
+    if kern:
+        out["mean_kernel_ms"] = 1e3 * sum(kern) / len(kern)
+    spawn = [t for t in sm.get("time_spawn") or [] if t]
+    if spawn:
+        out["mean_spawn_ms"] = 1e3 * sum(spawn) / len(spawn)
     # Evacuation time: first step where the population hits zero after its peak.
     if counts and max(counts) > 0:
         peak_i = counts.index(max(counts))
