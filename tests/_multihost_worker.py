@@ -1,6 +1,11 @@
 """Worker process for tests/test_multihost.py.
 
-Usage: python tests/_multihost_worker.py <process_id> <num_processes> <port>
+Usage: python tests/_multihost_worker.py <process_id> <num_processes> <port> [RxC]
+
+The optional 4th argument tiles the global mesh RxC (default: row strips,
+n_devices x 1).  With 2 processes x 4 devices as 4x2 tiles, the column
+ghost exchange stays intra-process while the middle row exchange crosses
+the process boundary — both collective axes of docs/multihost.md.
 
 Each worker owns 4 virtual CPU devices; together the processes form one
 global 2x(4*P/2... ) — concretely a (num_processes*4) x 1 row-strip mesh
@@ -23,6 +28,7 @@ def main() -> int:
     pid = int(sys.argv[1])
     nprocs = int(sys.argv[2])
     port = int(sys.argv[3])
+    tile = sys.argv[4] if len(sys.argv) > 4 else None
 
     import jax
 
@@ -69,8 +75,13 @@ spawn = { kind = "once", count = 40 }
                            table_capacity=8)
     state0 = make_initial_state(cfg, seed=0)
 
-    # Sharded path over the GLOBAL (cross-process) mesh: row strips.
-    tcfg = tile2d.Tile2DConfig.build(cfg, n_devices, 1)
+    # Sharded path over the GLOBAL (cross-process) mesh.
+    if tile:
+        rows, cols = (int(x) for x in tile.split("x"))
+        assert rows * cols == n_devices, (tile, n_devices)
+    else:
+        rows, cols = n_devices, 1  # row strips
+    tcfg = tile2d.Tile2DConfig.build(cfg, rows, cols)
     mesh = tile2d.make_mesh(tcfg)  # jax.devices() = global device list
     wp, obs = tile2d.device_inputs_on_mesh(tcfg, mesh, maps)
     gs = tile2d.make_sharded_grid_state(tcfg, mesh, state0)

@@ -31,7 +31,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_mesh_matches_single_device():
+@pytest.mark.parametrize("tile", [None, "4x2"])
+def test_two_process_mesh_matches_single_device(tile):
+    """Row strips (8x1) and 2D tiles (4x2): with 2 processes x 4 devices
+    as 4x2 tiles, the column ghost exchange stays intra-process while the
+    middle row exchange crosses the process boundary."""
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -46,7 +50,8 @@ def test_two_process_mesh_matches_single_device():
     worker = str(ROOT / "tests" / "_multihost_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", str(port)],
+            [sys.executable, worker, str(pid), "2", str(port)]
+            + ([tile] if tile else []),
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True,
         )
