@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import math
 
 import jax
 import numpy as np
@@ -80,6 +81,31 @@ class Simulator:
             # The fused kernel's stride-6 field layout needs 1.5 m cells;
             # auto-switch when the unit was left at the reference default.
             options = dataclasses.replace(options, neighbor_grid_unit=1.5)
+        if options.backend in ("pallas", "grid") and not options.use_neighbor_grid:
+            # All-pairs debug mode (args.rs:27-29) on the fused backends:
+            # the reference's all-pairs path applies the SAME 2 m cutoff as
+            # the grid path (sfm.rs:158-184, `distance_squared > 4.0`), so
+            # any neighbor structure whose 3x3 window covers the cutoff
+            # finds exactly the same interacting pairs.  The fused kernels
+            # ARE the cell grid, so instead of rejecting the flag we grow
+            # the cell unit to cover the cutoff (ceil to a field-unit
+            # multiple for the stride layout; a missed pair would need
+            # d >= unit >= cutoff, which the cutoff already excludes up to
+            # the measure-zero d == cutoff boundary) and scale the table
+            # capacity by the cell-area ratio.  The 1-cell ghost exchange
+            # of the tiled path covers the cutoff the same way.
+            cutoff = options.physics.interaction_cutoff
+            fu = options.field_grid_unit
+            unit_ap = math.ceil(cutoff / fu - 1e-9) * fu
+            if unit_ap > options.neighbor_grid_unit:
+                k_ap = math.ceil(options.table_capacity
+                                 * (unit_ap / options.neighbor_grid_unit) ** 2)
+                options = dataclasses.replace(
+                    options, neighbor_grid_unit=unit_ap, table_capacity=k_ap)
+                log.info(
+                    "all-pairs mode on the %s backend: neighbor unit -> "
+                    "%.2f m (covers the %.1f m interaction cutoff), table "
+                    "capacity -> %d", options.backend, unit_ap, cutoff, k_ap)
         self.options = options
         self.scenario = scenario
 
@@ -131,17 +157,6 @@ class Simulator:
         if o.backend in ("pallas", "grid"):
             from .models import sfm_grid, sfm_pallas
 
-            if not o.use_neighbor_grid:
-                # The fused kernels ARE the cell grid (the state lives in
-                # it), so the all-pairs debug mode (args.rs:27-29) runs on
-                # the XLA backend only — fail loudly instead of ignoring
-                # the flag.  --no-distance-map IS supported here: the
-                # kernels switch to exact per-segment obstacle geometry
-                # (sfm.rs:194-237, statically unrolled).
-                raise ValueError(
-                    "--no-neighbor-grid requires the xla backend "
-                    "(the fused kernels bake the cell grid in)"
-                )
             if not sfm_pallas.supports(self.cfg, o.row_block):
                 raise ValueError(
                     f"{o.backend} backend requires an integral neighbor/"

@@ -269,3 +269,55 @@ def test_grid_overflow_reported():
     assert int(m.n_overflow) == 3        # 6 landed in a K=3 cell
     assert float(jnp.sum(state2.d[:, :, 6, :])) == 3.0
     assert int(m.n_dropped) == 0         # nobody left the field
+
+
+def test_grid_all_pairs_unit_matches_xla_all_pairs():
+    """All-pairs debug mode on the grid backend (args.rs:27-29): the
+    reference's all-pairs path keeps the same 2 m cutoff
+    (sfm.rs:158-184), so a cell unit >= the cutoff makes the 3x3 window
+    find exactly the all-pairs interaction set.  Grid step at unit 2.0
+    must match the XLA step's true all-pairs pass
+    (use_neighbor_grid=False) — including the pairs at 1.5-2.0 m that
+    the default 1.5 m window misses."""
+    from pedoni_tpu.models.sfm import device_inputs, make_step
+
+    sc = loads_scenario(SCENARIO)
+    field = Field.from_scenario(sc, unit=0.25)
+    maps = FieldMaps.from_field(field)
+    cfg = StepConfig.build(sc, capacity=512, neighbor_grid_unit=2.0,
+                           table_capacity=18, use_neighbor_grid=False)
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(0.8, np.array(sc.size) - 0.8, (512, 2)).astype(np.float32)
+    vel = rng.normal(0, 0.3, (512, 2)).astype(np.float32)
+    speed = np.clip(rng.normal(1.34, 0.26, 512), 0.3, None).astype(np.float32)
+    dest = rng.integers(0, 2, 512).astype(np.int32)
+    active = np.zeros(512, bool)
+    active[:120] = True
+    # pin a pair at 1.7 m axis separation in open space: missed by a
+    # 1.5 m 3x3 window (cells 2 apart), found by all-pairs
+    pos[0], pos[1] = (5.0, 8.0), (6.7, 8.0)
+    vel[0] = vel[1] = (0.0, 0.0)
+    agents = AgentState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                        speed=jnp.asarray(speed), dest=jnp.asarray(dest),
+                        active=jnp.asarray(active))
+    state0 = SimState(agents=agents, key=jax.random.PRNGKey(7),
+                      step=jnp.int32(0))
+
+    dfield, obstacles = device_inputs(cfg, maps)
+    step_x = jax.jit(make_step(cfg, maps))
+    sx = state0
+    for _ in range(4):
+        sx, mx = step_x(sx, dfield.rows, obstacles)
+
+    fwp, fobs = map(jnp.asarray, sfm_pallas.pallas_device_inputs(cfg, maps))
+    step_g = jax.jit(sfm_grid.make_step_grid(cfg, maps))
+    sg = sfm_grid.bin_state(cfg, state0)
+    for _ in range(4):
+        sg, mg = step_g(sg, fwp, fobs)
+    sg_flat = sfm_grid.unbin_state(cfg, sg)
+
+    assert int(mg.n_active) == int(mx.n_active)
+    a = _active_set(sx.agents)
+    b = _active_set(sg_flat.agents)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, rtol=1e-3, atol=2e-2)

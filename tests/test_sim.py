@@ -151,14 +151,20 @@ def test_metrics_counts_finite():
     assert rec.time_calc_state > 0.0
 
 
-def test_fused_backends_reject_all_pairs_mode():
-    """--no-neighbor-grid is an XLA-only debug mode (args.rs:27-29); the
-    fused kernels ARE the cell grid and must refuse loudly rather than
-    silently ignore the flag."""
-    import pytest
-
-    with pytest.raises(ValueError, match="xla backend"):
-        make_sim(STRAIGHT, backend="grid", use_neighbor_grid=False)
+def test_fused_backends_run_all_pairs_mode():
+    """--no-neighbor-grid on the fused backends (args.rs:27-29): the
+    reference's all-pairs path keeps the 2 m cutoff (sfm.rs:158-184), so
+    the Simulator grows the cell unit to cover the cutoff (and the table
+    capacity by the area ratio) instead of rejecting the flag — the 3x3
+    window then finds exactly the all-pairs interaction set (physics
+    equivalence vs the XLA all-pairs pass:
+    test_grid_backend.py::test_grid_all_pairs_unit_matches_xla_all_pairs)."""
+    sim = make_sim(STRAIGHT, backend="grid", use_neighbor_grid=False, seed=4)
+    assert sim.options.neighbor_grid_unit == 2.0
+    assert sim.options.table_capacity == 29  # ceil(16 * (2.0/1.5)^2)
+    for _ in range(3):
+        rec = sim.tick()
+    assert rec.active_ped_count >= 0 and rec.time_calc_state > 0.0
 
 
 def test_grid_backend_runs_segment_obstacle_mode():
