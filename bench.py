@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -177,6 +178,30 @@ def main() -> int:
         ap.error(f"--domain must be auto, square, or tiles:T (got {args.domain!r})")
 
     import pathlib
+
+    # Fail fast when the axon tunnel is wedged: a dead backend otherwise
+    # HANGS ~15 min inside backend init before raising UNAVAILABLE, and
+    # the bench contract would burn its whole budget producing nothing.
+    # The probe runs in a subprocess with its own timeout so this process
+    # never touches the broken backend.  Skipped when the run is pinned
+    # to CPU (tests, explicit JAX_PLATFORMS=cpu).
+    if os.environ.get("JAX_PLATFORMS", "").lower() not in ("cpu",):
+        import subprocess
+
+        probe = ("import jax, jax.numpy as jnp; "
+                 "assert jax.default_backend() != 'cpu', 'no TPU'; "
+                 "print(float(jnp.sum(jnp.ones((128, 128)) @ "
+                 "jnp.ones((128, 128)))))")
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True, timeout=300)
+            err = None if r.returncode == 0 else (r.stderr or "probe failed")
+        except subprocess.TimeoutExpired:
+            err = "probe timed out after 300 s (backend init hang)"
+        if err is not None:
+            print("FATAL: TPU backend unavailable — bench cannot run on "
+                  f"hardware:\n{err.strip()[-500:]}", file=sys.stderr)
+            return 2
 
     import jax
 
