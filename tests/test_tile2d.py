@@ -39,11 +39,11 @@ spawn = { kind = "periodic", frequency = 6.0 }
 """
 
 
-def _setup(n=140, seed=5, k=10):
+def _setup(n=140, seed=5, k=10, unit=1.5):
     sc = loads_scenario(SCENARIO)
     field = Field.from_scenario(sc, unit=0.25)
     maps = FieldMaps.from_field(field)
-    cfg = StepConfig.build(sc, capacity=512, neighbor_grid_unit=1.5,
+    cfg = StepConfig.build(sc, capacity=512, neighbor_grid_unit=unit,
                            table_capacity=k)
     rng = np.random.default_rng(seed)
     pos = rng.uniform(0.8, np.array(sc.size) - 0.8, (512, 2)).astype(np.float32)
@@ -147,6 +147,20 @@ def test_migration_across_columns():
     assert (gpos[:, 0] > 9.0).all()  # all four crossed into the right tile
     assert int(m.n_dropped) == 0
     assert int(m.n_overflow) == 0
+
+
+def test_tiled_all_pairs_unit():
+    """The all-pairs debug mode's cutoff-covering cell unit (2.0 m,
+    sim.py) on the tiled path: the 1-cell ghost exchange then spans the
+    full 2 m interaction cutoff, so tiles must still reproduce the
+    single-chip step exactly as at the default unit."""
+    maps, cfg, state0 = _setup(n=100, k=18, unit=2.0)
+    want, m1 = _run_single(maps, cfg, state0, n_steps=3)
+    got, mn = _run_tiled(maps, cfg, state0, n_steps=3, rows=1, cols=2)
+    assert int(mn.n_active) == int(m1.n_active)
+    a, b = _active_set(want.agents), _active_set(got.agents)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, rtol=1e-3, atol=2e-2)
 
 
 def test_localized_crowd_sparse_blocks():
