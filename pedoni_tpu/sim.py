@@ -143,6 +143,7 @@ class Simulator:
         self._mesh = None
         self._tcfg = None
         self._kernel_chain = None  # shapes depend on capacity/K
+        self._spawn_chain = None   # traces self.cfg, rebuilt with it
         self.cfg = StepConfig.build(
             self.scenario,
             physics=o.physics,

@@ -8,17 +8,19 @@ zeros on empty blocks, arming the skip) or the disabled bound (jmax=None
 = K everywhere, every block computes).  The raw step-kernel output may
 differ only in inactive-slot garbage, which the rebin provably masks.
 
-The agent pattern [rows 0-1 and 7 occupied, rest empty] exercises every
-skip interleaving: occupied->occupied prefetch, a skipped block whose
-successor computes (its prefetch must still be issued), consecutive
-skipped blocks, and a skipped block in the double-buffer slot parity of
-a later computed block.
+The agent pattern [cell rows 0 and 7 occupied, rest empty] gives
+per-block bounds [+, 0, 0, +] (RB=2: block 1's window covers padded rows
+2-5, block 2's 4-7 — both empty), exercising every skip interleaving:
+computed->skipped, consecutive skipped blocks, and a skipped block whose
+successor computes (its prefetch must still be issued, landing in the
+slot parity a skipped block never filled).
 """
 
 import jax.numpy as jnp
 import numpy as np
 
 from pedoni_tpu.field import Field, FieldMaps
+from pedoni_tpu.models.sfm_grid import occupancy_bound
 from pedoni_tpu.ops.pallas.fields6 import Fields6
 from pedoni_tpu.ops.pallas.rebin import rebin_kernel
 from pedoni_tpu.ops.pallas.step_kernel import fused_step_kernel
@@ -41,28 +43,28 @@ line = [[2, 2], [2, 10]]
 
 
 def _occupancy_jmax(d: np.ndarray, rb: int, k: int) -> np.ndarray:
-    """models/sfm_grid.occupancy_bound, from the active channel (these
-    synthetic grids do not carry the channel-7 count)."""
-    cnt = (d[:, :, 6, :] > 0.5).sum(axis=1)
-    rowmax = cnt.max(axis=-1)
+    """The PRODUCTION bound (models/sfm_grid.occupancy_bound), exactly as
+    the Simulator arms the skip — from the channel-7 count that
+    _sparse_grid maintains like bin_state/spawn_scatter/rebin do."""
     nb = (d.shape[0] - 2) // rb
-    w = np.stack([rowmax[off::rb][:nb] for off in range(rb + 2)])
-    return np.minimum(w.max(axis=0), k).astype(np.int32)
+    return np.asarray(occupancy_bound(jnp.asarray(d), rb, nb, k))
 
 
 def _sparse_grid(seed=0):
-    """Agents only in cell rows {0, 1, 7}: blocks 1 and 2 of four have
-    empty windows (block 0 sees rows 0-1, block 3 sees row 7)."""
+    """Agents only in cell rows {0, 7}: per-block bounds [+, 0, 0, +]
+    (blocks 1 and 2 of four have empty windows — consecutive skips)."""
     rng = np.random.default_rng(seed)
     d = np.zeros((NY + 2, K, 8, NXL), np.float32)
-    for r in (0, 1, 7):
+    for r in (0, 7):
         for x in range(NX):
-            for j in range(rng.integers(1, 4)):
+            n = int(rng.integers(1, 4))
+            for j in range(n):
                 p = np.array([x * UNIT, r * UNIT]) + rng.uniform(0.1, UNIT - 0.1, 2)
                 d[r + 1, j, 0:2, x + 1] = p
                 d[r + 1, j, 2:4, x + 1] = rng.normal(0, 0.4, 2)
                 d[r + 1, j, 4, x + 1] = rng.uniform(0.8, 1.8)
                 d[r + 1, j, 6, x + 1] = 1.0
+            d[r + 1, 0, 7, x + 1] = float(n)  # count channel (slot 0)
     return d
 
 
