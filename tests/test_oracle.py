@@ -66,12 +66,44 @@ def setup():
     return sc, field, maps, cfg, pos, vel, speed, dest, active
 
 
-def _oracle_traj(sc, field, pos, vel, speed, dest, active):
+def _oracle_traj(sc, field, pos, vel, speed, dest, active, unit=UNIT,
+                 n_steps=N_STEPS, **modes):
     p, v, a = pos, vel, active.copy()
-    for _ in range(N_STEPS):
+    for _ in range(n_steps):
         p, v, a = oracle_step(field, p, v, speed.astype(np.float64),
-                              dest, a, sc.size, UNIT)
+                              dest, a, sc.size, unit, **modes)
     return p, a
+
+
+def _seg_obstacles(sc):
+    """(x0, y0, x1, y1, width) tuples for oracle_step's segment mode."""
+    return [(o.line[0][0], o.line[0][1], o.line[1][0], o.line[1][1], o.width)
+            for o in sc.obstacles]
+
+
+def _run_xla(cfg, maps, pos, vel, speed, dest, active, n_steps=N_STEPS):
+    agents = AgentState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                        speed=jnp.asarray(speed), dest=jnp.asarray(dest),
+                        active=jnp.asarray(active))
+    st = SimState(agents=agents, key=jax.random.PRNGKey(0), step=jnp.int32(0))
+    dfield, obstacles = device_inputs(cfg, maps)
+    step = jax.jit(make_step(cfg, maps))
+    for _ in range(n_steps):
+        st, _ = step(st, dfield.rows, obstacles)
+    return st.agents
+
+
+def _run_grid(cfg, maps, pos, vel, speed, dest, active, n_steps=N_STEPS):
+    agents = AgentState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                        speed=jnp.asarray(speed), dest=jnp.asarray(dest),
+                        active=jnp.asarray(active))
+    st = SimState(agents=agents, key=jax.random.PRNGKey(0), step=jnp.int32(0))
+    gs = sfm_grid.bin_state(cfg, st)
+    fwp, fobs = map(jnp.asarray, sfm_pallas.pallas_device_inputs(cfg, maps))
+    step = jax.jit(sfm_grid.make_step_grid(cfg, maps))
+    for _ in range(n_steps):
+        gs, _ = step(gs, fwp, fobs)
+    return sfm_grid.unbin_state(cfg, gs).agents
 
 
 def _compare(speed, o_pos, o_act, b_pos, b_act, b_speed, what):
@@ -126,3 +158,59 @@ def test_grid_backend_matches_oracle(setup):
     a = flat.agents
     _compare(speed, o_pos, o_act, np.asarray(a.pos), np.asarray(a.active),
              np.asarray(a.speed), "grid")
+
+
+def test_xla_all_pairs_matches_oracle(setup):
+    """The all-pairs debug branch (sfm.rs:158-184) vs the oracle's
+    all-pairs branch — same cutoff, no neighbor structure on either
+    side."""
+    sc, field, maps, _cfg, pos, vel, speed, dest, active = setup
+    o_pos, o_act = _oracle_traj(sc, field, pos, vel, speed, dest, active,
+                                use_neighbor_grid=False)
+    cfg = StepConfig.build(sc, capacity=CAP, neighbor_grid_unit=UNIT,
+                           table_capacity=10, use_neighbor_grid=False)
+    a = _run_xla(cfg, maps, pos, vel, speed, dest, active)
+    _compare(speed, o_pos, o_act, np.asarray(a.pos), np.asarray(a.active),
+             np.asarray(a.speed), "xla all-pairs")
+
+
+def test_xla_segment_obstacles_match_oracle(setup):
+    """The per-segment obstacle branch (sfm.rs:194-237) vs the oracle's
+    independent transliteration of the 4-edge rectangle geometry."""
+    sc, field, maps, _cfg, pos, vel, speed, dest, active = setup
+    o_pos, o_act = _oracle_traj(sc, field, pos, vel, speed, dest, active,
+                                obstacles=_seg_obstacles(sc))
+    cfg = StepConfig.build(sc, capacity=CAP, neighbor_grid_unit=UNIT,
+                           table_capacity=10, use_distance_map=False)
+    a = _run_xla(cfg, maps, pos, vel, speed, dest, active)
+    _compare(speed, o_pos, o_act, np.asarray(a.pos), np.asarray(a.active),
+             np.asarray(a.speed), "xla segments")
+
+
+@pytest.mark.slow
+def test_grid_all_pairs_unit_matches_oracle(setup):
+    """The fused backends' all-pairs mode (cell unit grown to cover the
+    2 m cutoff, sim.py) vs the oracle's true all-pairs branch — the
+    de-correlated proof that a cutoff-covering window IS all-pairs."""
+    sc, field, maps, _cfg, pos, vel, speed, dest, active = setup
+    o_pos, o_act = _oracle_traj(sc, field, pos, vel, speed, dest, active,
+                                unit=2.0, use_neighbor_grid=False)
+    cfg = StepConfig.build(sc, capacity=CAP, neighbor_grid_unit=2.0,
+                           table_capacity=18, use_neighbor_grid=False)
+    a = _run_grid(cfg, maps, pos, vel, speed, dest, active)
+    _compare(speed, o_pos, o_act, np.asarray(a.pos), np.asarray(a.active),
+             np.asarray(a.speed), "grid all-pairs")
+
+
+@pytest.mark.slow
+def test_grid_segment_obstacles_match_oracle(setup):
+    """The grid backend's statically unrolled segment-obstacle kernel
+    mode vs the oracle's independent transliteration."""
+    sc, field, maps, _cfg, pos, vel, speed, dest, active = setup
+    o_pos, o_act = _oracle_traj(sc, field, pos, vel, speed, dest, active,
+                                obstacles=_seg_obstacles(sc))
+    cfg = StepConfig.build(sc, capacity=CAP, neighbor_grid_unit=UNIT,
+                           table_capacity=10, use_distance_map=False)
+    a = _run_grid(cfg, maps, pos, vel, speed, dest, active)
+    _compare(speed, o_pos, o_act, np.asarray(a.pos), np.asarray(a.active),
+             np.asarray(a.speed), "grid segments")
