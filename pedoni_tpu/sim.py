@@ -263,9 +263,9 @@ class Simulator:
         fetched.  ``sync_every`` > 0 adds periodic syncs to bound the
         dispatch queue; at each sync point the grid backend ALSO checks
         table saturation (peak cell demand >= K-1) and grows K drop-free,
-        so long throughput runs survive densification.  Flat-capacity
-        growth is still not monitored here — size the capacity up front
-        (the n_dropped metric reports any losses)."""
+        and the flat backends check agent capacity (n_active > 80%) and
+        double it — the same growth tick() applies — so long throughput
+        runs survive densification on every backend."""
         metrics = None
         with Timer() as t:
             for i in range(n_steps):
@@ -277,6 +277,9 @@ class Simulator:
                             and int(metrics.max_demand)
                             >= self.options.table_capacity - 1):
                         self._grow_table(0)  # int() above already synced
+                    elif (self.options.backend != "grid"
+                          and int(metrics.n_active) > 0.8 * self.cfg.capacity):
+                        self._grow()  # flat-array capacity, like tick()
                     else:
                         jax.block_until_ready(self.state)
             n_active = int(metrics.n_active)

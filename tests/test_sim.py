@@ -215,6 +215,24 @@ def test_run_throughput_mode():
     assert np.isfinite(pos).all()
 
 
+FAST_SPAWN = STRAIGHT.replace("frequency = 2.0", "frequency = 30.0")
+
+
+def test_run_grows_flat_capacity_at_sync_points():
+    """run()'s sync points monitor the flat backends' agent capacity the
+    same way tick() does (grow at 80%), so long throughput runs survive
+    accumulating populations without drops."""
+    sim = make_sim(FAST_SPAWN, seed=4, capacity=32)
+    assert sim.cfg.capacity == 32
+    for _ in range(4):
+        sim.run(10, sync_every=5)
+    assert sim.cfg.capacity > 32     # growth actually happened mid-run
+    rec = sim.tick()
+    # demand 6/step against capacity 32: without growth, drops would be
+    # unavoidable; with sync-point growth the population keeps rising
+    assert rec.active_ped_count > 32
+
+
 CONVERGE = """
 [field]
 size = [18, 12]
