@@ -87,6 +87,22 @@ spawn = { kind = "once", count = 40 }
     gs = tile2d.make_sharded_grid_state(tcfg, mesh, state0)
     step = jax.jit(tile2d.make_sharded_step(tcfg, mesh))
 
+    # AOT-compile, then rendezvous at the coordinator barrier BEFORE the
+    # first execution: gloo gives the peer only 30 s to show up at the
+    # first collective's context init, but on this 1-core host the two
+    # ranks' compiles (when the persistent cache misses) finish with a
+    # measured ~50 s skew — one rank was timing out while the other was
+    # still compiling.  Compiling first and meeting at the coordinator
+    # barrier (which has no such deadline) makes the ranks reach the
+    # gloo rendezvous together.  Real multi-host deployments want the
+    # same discipline when compile times differ across hosts
+    # (docs/multihost.md).
+    step.lower(gs, wp, obs).compile()
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(
+        "sharded_step_compiled", timeout_in_ms=1_200_000)
+
     # Single-device reference (worker 0 only): same physics, same spawn
     # stream -> metrics must match the sharded run exactly.
     if pid == 0:
