@@ -174,8 +174,22 @@ def main() -> int:
                          "field; tiles:T = force T 128-lane tiles of width")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
-    if args.domain not in ("auto", "square") and not args.domain.startswith("tiles:"):
+    if args.domain.startswith("tiles:"):
+        try:
+            t = int(args.domain.split(":", 1)[1])
+        except ValueError:
+            t = 0
+        if t < 1:
+            ap.error(f"--domain tiles:T needs a positive integer T "
+                     f"(got {args.domain!r})")
+    elif args.domain not in ("auto", "square"):
         ap.error(f"--domain must be auto, square, or tiles:T (got {args.domain!r})")
+    if args.domain != "auto" and args.backend != "grid":
+        # build() shapes the domain only for the grid backend; don't let
+        # an explicit experiment knob silently degrade to the square.
+        ap.error(f"--domain {args.domain!r} has no effect with --backend "
+                 f"{args.backend} (domain shaping is a grid-backend knob; "
+                 "other backends always run the legacy square)")
 
     import pathlib
 

@@ -61,8 +61,10 @@ def debug_segments(cfg: StepConfig) -> tuple | None:
 
 
 def vmem_need_bytes(cfg: StepConfig, row_block: int = 2) -> int:
-    """Kernel VMEM footprint: field windows (all waypoint planes resident)
-    + the agent window/output/scratch."""
+    """Kernel VMEM footprint: field windows (all waypoint planes resident,
+    DOUBLE-buffered since the input-DMA pipelining — the factor 2 on the
+    field term matches the (2, ...) scratch shapes in step_kernel.py) +
+    the agent window (2 slots) / output / scratch."""
     s = stride_for(cfg) or 6
     rb = row_block
     k = cfg.table_capacity
@@ -71,7 +73,7 @@ def vmem_need_bytes(cfg: StepConfig, row_block: int = 2) -> int:
     n_wp = max(1, len(cfg.scenario.waypoints))
     per_plane = flen * s * 4 * nxl * 4
     agents = (2 * (rb + 2) + rb) * k * 8 * nxl * 4
-    return (n_wp + 1) * per_plane + agents
+    return 2 * (n_wp + 1) * per_plane + agents
 
 
 def supports(cfg: StepConfig, row_block: int = 2) -> bool:

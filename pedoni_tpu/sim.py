@@ -221,8 +221,13 @@ class Simulator:
     def tick(self) -> StepRecord:
         """Advance one step (lib.rs:64-100) and return host-side metrics."""
         with Timer() as t:
-            self.state, metrics = self._step(self.state, self._field_rows, self._obstacles)
-            n_active = int(metrics.n_active)  # device sync
+            self.state, dmetrics = self._step(self.state, self._field_rows, self._obstacles)
+            # ONE batched device->host transfer for all metric scalars:
+            # each separate int(jax_scalar) is an independent round trip
+            # on the tunneled backend (milliseconds each on the
+            # interactive hot path).
+            metrics = jax.device_get(dmetrics)
+            n_active = int(metrics.n_active)
         self.step_count += 1
 
         n_dropped = int(metrics.n_dropped)
