@@ -149,9 +149,45 @@ width = 1
               f"{type(e).__name__}: {e}", file=sys.stderr)
         return 1
 
+    # Empty-block skip on hardware: a sparse band leaves middle blocks'
+    # occupancy bound at 0, so their window/field DMAs and compute body
+    # are skipped (ops/pallas/{step_kernel,rebin}.py).  The skipped run
+    # must be bit-exact vs forcing every block to compute (bound
+    # clamped >= 1) through the rebin.
+    try:
+        from pedoni_tpu.models.sfm_grid import occupancy_bound
+        from pedoni_tpu.ops.pallas.rebin import rebin_kernel
+
+        dsp = np.asarray(sfm_grid.bin_state(cfg, state0).d).copy()
+        dsp[3:-2] = 0.0  # keep cell rows {0, 1} and the last row
+        nb = (dsp.shape[0] - 2) // 2
+        jm = occupancy_bound(jnp.asarray(dsp), 2, nb, k)
+        if int(jnp.sum(jm == 0)) == 0:
+            print("FATAL: skip gate setup broken — no empty block",
+                  file=sys.stderr)
+            return 1
+        outs = []
+        for bound in (jm, jnp.maximum(jm, 1)):
+            g = fused_step_kernel(jnp.asarray(dsp), fwp, fobs, cfg.physics,
+                                  sc.size, row_block=2, jmax=bound,
+                                  stride=sfm_pallas.stride_for(cfg),
+                                  field_unit=cfg.field_unit)
+            d2, ovf, dmx = rebin_kernel(g, cfg.grid.unit, cfg.grid.nx,
+                                        cfg.grid.ny, row_block=2,
+                                        jmax=bound)
+            outs.append((np.asarray(d2), np.asarray(ovf), np.asarray(dmx)))
+        if not all((x == y).all() for x, y in zip(outs[0], outs[1])):
+            print("FATAL: empty-block skip not bit-exact on hardware",
+                  file=sys.stderr)
+            return 1
+    except Exception as e:
+        print(f"FATAL: empty-block-skip Mosaic compile/run FAILED: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+        return 1
+
     print(f"tpu_gate OK: Mosaic kernels compiled and ran, {n_active} active, "
           "physics matches the XLA step; offset-slab path max err "
-          f"{max_err:.1e}")
+          f"{max_err:.1e}; empty-block skip bit-exact")
     return 0
 
 
