@@ -59,6 +59,8 @@ def main() -> int:
     dims = sfm_grid.GridDims.build(cfg, 2)
     nb = dims.ny_pad // dims.rb
 
+    interp = jax.default_backend() != "tpu"  # CPU smoke runs interpret
+
     def make_chain(clamp: bool):
         def k12(d, fwp, fobs):
             jm = occupancy_bound(d, 2, nb, dims.k)
@@ -66,9 +68,11 @@ def main() -> int:
                 jm = jnp.maximum(jm, 1)
             g = fused_step_kernel(d, fwp, fobs, cfg.physics,
                                   cfg.scenario.size, row_block=2, jmax=jm,
-                                  stride=stride, field_unit=cfg.field_unit)
+                                  stride=stride, field_unit=cfg.field_unit,
+                                  interpret=interp)
             d2, _ovf, _dmx = rebin_kernel(g, cfg.grid.unit, cfg.grid.nx,
-                                          cfg.grid.ny, row_block=2, jmax=jm)
+                                          cfg.grid.ny, row_block=2, jmax=jm,
+                                          interpret=interp)
             return d2
 
         return jax.jit(k12)
