@@ -30,14 +30,19 @@ import time
 import numpy as np
 
 
-def build(n_agents: int, density: float, seed: int, backend: str,
-          table_capacity: int, chunk_size: int, row_block: int = 2,
-          domain: str = "auto"):
+def build_problem(n_agents: int, density: float, seed: int, backend: str,
+                  table_capacity: int, chunk_size: int,
+                  domain: str = "auto"):
+    """The bench workload as raw pieces: (scenario, maps, cfg, flat state).
+
+    Split out of build() so experiment scripts (scripts/ab_*.py) can drive
+    the same problem through other step constructors (e.g. the 2D-tiled
+    sharded step) without duplicating the domain-shaping rules."""
     import jax
     import jax.numpy as jnp
 
     from pedoni_tpu.field import Field, FieldMaps
-    from pedoni_tpu.models.sfm import AgentState, SimState, StepConfig, device_inputs, make_step
+    from pedoni_tpu.models.sfm import AgentState, SimState, StepConfig
     from pedoni_tpu.scenario import Scenario, Segment
 
     area = n_agents / density
@@ -55,21 +60,23 @@ def build(n_agents: int, density: float, seed: int, backend: str,
         # grid kernels vectorize cell COLUMNS over the 128-lane axis, so
         # a field whose cell-column count + 3 ghost/pad lanes is an
         # exact multiple of 128 wastes zero lanes — and the per-lane
-        # cost is NOT flat in width: an 8-device-scale A/B at 8M agents
-        # measured (ms per 1M agents) 640 lanes 14.78, 768 13.88,
-        # 896 12.69, 1280 15.72 — and at 1M, 896 lanes beat the
-        # near-square 512-lane shape 14.7 vs 17.7 ms.  Narrower pays
+        # cost is NOT flat in width.  On-hardware alternating-window
+        # A/Bs (scripts/ab_lanes.py): at 1M, 768/896/1024/1152 lanes
+        # measured 16.15/15.16/14.65/19.78 ms/step; at 4M, 1024 beats
+        # 896 54.30 vs 55.74 ms; an earlier 8M sweep had 640/768/896/
+        # 1280 at (ms per 1M) 14.78/13.88/12.69/15.72.  Narrower pays
         # per-block fixed costs (DMA issue + ~203 ns/trip loop
         # overhead x more row blocks), wider pays a Mosaic scheduling
-        # penalty past ~896 lanes (larger VMEM working set per block).
-        # So: 896 lanes (7 tiles) whenever the field keeps enough rows
-        # to amortize, narrower only for tiny fields.  Same area, same
-        # density, same physics and coverage — sizing the domain to the
-        # hardware tile is the TPU analog of picking a batch size
-        # divisible by 8.  --domain square keeps the legacy square for
-        # A/B comparisons; --domain tiles:T forces a width.
+        # penalty past ~1024 lanes (larger VMEM working set per block;
+        # the cliff between 1024 and 1152 is 35%).  So: 1024 lanes
+        # (8 tiles) whenever the field keeps enough rows to amortize,
+        # narrower only for tiny fields.  Same area, same density, same
+        # physics and coverage — sizing the domain to the hardware tile
+        # is the TPU analog of picking a batch size divisible by 8.
+        # --domain square keeps the legacy square for A/B comparisons;
+        # --domain tiles:T forces a width.
         unit = 1.5
-        for t in range(7, 0, -1):
+        for t in range(8, 0, -1):
             nx = t * 128 - 3
             w = nx * unit
             h = area / w
@@ -117,6 +124,18 @@ def build(n_agents: int, density: float, seed: int, backend: str,
         dest=jnp.asarray(dest), active=jnp.asarray(active),
     )
     state = SimState(agents=agents, key=jax.random.PRNGKey(seed), step=jnp.int32(0))
+    return scenario, maps, cfg, state
+
+
+def build(n_agents: int, density: float, seed: int, backend: str,
+          table_capacity: int, chunk_size: int, row_block: int = 2,
+          domain: str = "auto"):
+    import jax
+
+    from pedoni_tpu.models.sfm import device_inputs, make_step
+
+    _scenario, maps, cfg, state = build_problem(
+        n_agents, density, seed, backend, table_capacity, chunk_size, domain)
     if backend == "grid":
         from pedoni_tpu.models import sfm_grid, sfm_pallas
 
@@ -169,7 +188,7 @@ def main() -> int:
     ap.add_argument("--chunk-size", type=int, default=16384)
     ap.add_argument("--domain", default="auto",
                     help="auto = lane-exact rectangle at the measured "
-                         "896-lane sweet spot (100%% lane utilization, same "
+                         "1024-lane sweet spot (100%% lane utilization, same "
                          "area/density/physics); square = the legacy square "
                          "field; tiles:T = force T 128-lane tiles of width")
     ap.add_argument("--verbose", action="store_true")
