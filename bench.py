@@ -303,19 +303,51 @@ def main() -> int:
     window = max(1, args.steps // 4)
     best = float("inf")
     n_active = 0
-    for _ in range(4):
-        t0 = time.perf_counter()
-        for _ in range(window):
-            state, metrics = step(state)
-        n_active = int(metrics.n_active)  # hard sync before the clock
-        best = min(best, (time.perf_counter() - t0) / window)
+
+    def measure_round():
+        nonlocal state, n_active
+        b = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            for _ in range(window):
+                state, metrics = step(state)
+            n_active = int(metrics.n_active)  # hard sync before the clock
+            b = min(b, (time.perf_counter() - t0) / window)
+        return b
+
+    # Tunnel congestion is not only per-window jitter: whole multi-minute
+    # degraded periods have been observed (one full 4-window capture at
+    # 340 ms/step, a rerun 5 min later at 13.6 ms — same code, same chip,
+    # chip-side matmul calibration full-speed in between).  So converge
+    # across ROUNDS: re-measure (after a cooldown) while the best keeps
+    # improving materially; stop as soon as a round fails to beat the
+    # running best by >15% (two healthy rounds agree immediately, so the
+    # healthy-path cost is one extra ~1 s round).  Congestion only ever
+    # ADDS time, so taking the minimum across rounds stays honest.
+    rounds = 0
+    deadline = time.perf_counter() + 360.0
+    while rounds < 6:
+        b = measure_round()
+        rounds += 1
+        improved = b < best * 0.85
+        best = min(best, b)
+        if args.verbose:
+            print(f"# round {rounds}: {b*1000:.2f} ms/step", file=sys.stderr)
+        if not improved and rounds >= 2:
+            break
+        if rounds >= 2 and time.perf_counter() > deadline:
+            break
+        if improved and rounds >= 2:
+            # Let the transient pass before re-measuring.  Sub-second
+            # rounds (tiny CPU contract runs) just jitter — don't stall.
+            time.sleep(30.0 if b * window * 4 >= 1.0 else 1.0)
 
     steps_per_sec = 1.0 / best
     agent_steps = n_active * steps_per_sec
     if args.verbose:
-        print(f"# {best*1000:.2f} ms/step (best of 4 windows x {window}), "
-              f"active={n_active}, {steps_per_sec:.1f} steps/s",
-              file=sys.stderr)
+        print(f"# {best*1000:.2f} ms/step (best of {rounds} rounds x "
+              f"4 windows x {window}), active={n_active}, "
+              f"{steps_per_sec:.1f} steps/s", file=sys.stderr)
 
     print(f"# backend={args.backend}", file=sys.stderr)
     print(json.dumps({
@@ -324,11 +356,14 @@ def main() -> int:
         "unit": "agent-steps/s",
         "vs_baseline": agent_steps / 1e9,
         # Methodology rides in the payload so downstream comparisons are
-        # apples-to-apples: the step time is the BEST of 4 timing windows
-        # (the device sits behind a shared tunnel whose congestion only
-        # ever adds time; the chip's own step time is the minimum).
+        # apples-to-apples: the step time is the BEST of all timing windows
+        # across convergence rounds (the device sits behind a shared tunnel
+        # whose congestion only ever adds time; the chip's own step time is
+        # the minimum; rounds repeat after a cooldown while the best keeps
+        # improving >15%, so a transiently degraded capture recovers).
         "ms_per_step": best * 1000.0,
-        "method": f"best-of-4-windows x {window} steps",
+        "method": f"best-of-{rounds}-rounds x 4 windows x {window} steps",
+        "rounds": rounds,
     }))
     return 0
 
