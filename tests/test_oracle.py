@@ -13,6 +13,8 @@ agents carry unique speeds so trajectories can be matched across the
 grid backend's arbitrary slot order.
 """
 
+import pathlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -214,3 +216,101 @@ def test_grid_segment_obstacles_match_oracle(setup):
     a = _run_grid(cfg, maps, pos, vel, speed, dest, active)
     _compare(speed, o_pos, o_act, np.asarray(a.pos), np.asarray(a.active),
              np.asarray(a.speed), "grid segments")
+
+
+# ---------------------------------------------------------------------------
+# Evacuation step-count parity — the reference author's OWN fidelity metric
+# (steps until 0 active agents over repeated runs, the commented-out harness
+# at /root/reference/pedoni/src/main.rs:58-77), judged here by the
+# independent f64 oracle instead of a frozen self-measured band
+# (test_regression_bands.py freezes the repo's own round-1 numbers; this
+# test de-correlates the referee).  64 agents evacuate scenarios/gap.toml
+# through the wall gap from identical initial states; measured on TPU
+# hardware 2026-08-19: oracle 252/262/259 steps (seeds 1/2/3), xla
+# 251/264/262, grid 251/263/261 — max |backend - oracle| = 3 steps (1.2%)
+# over a ~260-step chaotic queue drain.  Band 5% catches semantic drift
+# (a physics misreading shifts the drain by tens of steps) while allowing
+# f32-vs-f64 trajectory divergence.
+# ---------------------------------------------------------------------------
+
+_GAP = pathlib.Path(__file__).parents[1] / "scenarios" / "gap.toml"
+_EVAC_N = 64
+_EVAC_MAX = 600
+
+
+@pytest.fixture(scope="module")
+def evac_setup():
+    from pedoni_tpu.scenario import load_scenario
+
+    sc = load_scenario(_GAP)
+    field = Field.from_scenario(sc, unit=0.25)
+    maps = FieldMaps.from_field(field)
+    cfg = StepConfig.build(sc, capacity=CAP, neighbor_grid_unit=UNIT,
+                           table_capacity=12)
+    return sc, field, maps, cfg
+
+
+def _evac_initial(seed):
+    """64 agents in the left chamber of gap.toml, heading to waypoint 1
+    on the far side of the wall (same stream as the measured prototype)."""
+    rng = np.random.default_rng(seed)
+    pos = np.zeros((CAP, 2), np.float32)
+    pos[:, 0] = rng.uniform(2.0, 10.0, CAP)
+    pos[:, 1] = rng.uniform(2.0, 22.0, CAP)
+    vel = np.zeros((CAP, 2), np.float32)
+    speed = (1.0 + 0.002 * np.arange(CAP)).astype(np.float32)
+    dest = np.ones(CAP, np.int32)
+    active = np.arange(CAP) < _EVAC_N
+    return pos, vel, speed, dest, active
+
+
+def _oracle_evac_steps(sc, field, seed):
+    pos, vel, speed, dest, active = _evac_initial(seed)
+    p, v, a = pos, vel, active.copy()
+    for i in range(1, _EVAC_MAX + 1):
+        p, v, a = oracle_step(field, p, v, speed.astype(np.float64),
+                              dest, a, sc.size, UNIT)
+        if not a.any():
+            return i
+    return _EVAC_MAX + 1
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("backend", ["xla", "grid"])
+def test_evacuation_step_count_matches_oracle(evac_setup, backend):
+    sc, field, maps, cfg = evac_setup
+    for seed in (1, 2):
+        o_steps = _oracle_evac_steps(sc, field, seed)
+        pos, vel, speed, dest, active = _evac_initial(seed)
+        agents = AgentState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                            speed=jnp.asarray(speed), dest=jnp.asarray(dest),
+                            active=jnp.asarray(active))
+        st = SimState(agents=agents, key=jax.random.PRNGKey(0),
+                      step=jnp.int32(0))
+        if backend == "xla":
+            dfield, obstacles = device_inputs(cfg, maps)
+            step = jax.jit(make_step(cfg, maps))
+            b_steps = _EVAC_MAX + 1
+            for i in range(1, _EVAC_MAX + 1):
+                st, m = step(st, dfield.rows, obstacles)
+                if int(m.n_active) == 0:
+                    b_steps = i
+                    break
+        else:
+            gs = sfm_grid.bin_state(cfg, st)
+            fwp, fobs = map(jnp.asarray,
+                            sfm_pallas.pallas_device_inputs(cfg, maps))
+            step = jax.jit(sfm_grid.make_step_grid(cfg, maps))
+            b_steps = _EVAC_MAX + 1
+            for i in range(1, _EVAC_MAX + 1):
+                gs, m = step(gs, fwp, fobs)
+                if int(m.n_active) == 0:
+                    b_steps = i
+                    break
+        assert o_steps <= _EVAC_MAX and b_steps <= _EVAC_MAX, (
+            f"evacuation did not complete: oracle {o_steps}, "
+            f"{backend} {b_steps}")
+        assert abs(b_steps - o_steps) <= max(3, round(0.05 * o_steps)), (
+            f"{backend} seed {seed}: evacuated in {b_steps} steps, oracle "
+            f"{o_steps} — outside the 5% parity band (measured max "
+            f"deviation 3 steps on hardware)")
