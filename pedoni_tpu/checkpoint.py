@@ -68,7 +68,8 @@ def restore(sim, path: str | Path) -> None:
     state, step_count = load_state(path)
     n = state.agents.pos.shape[0]
     if n > sim.cfg.capacity:
-        sim._build(n)  # rounds up to a valid capacity
+        sim._build(n)  # rebuild at the checkpoint's (larger) capacity —
+        #                capacity is only a static array length, any n works
     cap = sim.cfg.capacity
     if n < cap:
         pad = cap - n

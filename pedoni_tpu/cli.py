@@ -146,17 +146,14 @@ def make_simulator(args: argparse.Namespace):
         n_devices=n_devices,
     )
 
-    device = None
     if args.backend in ("cpu", "tpu"):
         import jax
 
         devices = jax.devices(args.backend if args.backend != "tpu" else None)
-        device = devices[0]
-    if device is not None:
-        import jax
-
-        ctx = jax.default_device(device)
-        ctx.__enter__()  # held for process lifetime
+        # Process-wide default device via the config system — unlike a
+        # bare context-manager __enter__, this nests cleanly when a
+        # library consumer builds several simulators in one process.
+        jax.config.update("jax_default_device", devices[0])
 
     return Simulator(options, scenario), scenario
 

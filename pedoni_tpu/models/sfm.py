@@ -65,12 +65,20 @@ class StepMetrics(NamedTuple):
 
     n_active: jnp.ndarray  # i32
     n_spawned: jnp.ndarray  # i32
-    n_dropped: jnp.ndarray  # i32: active agents lost to capacity saturation
+    # ACTIONABLE losses only: agents lost to capacity saturation (flat
+    # backends) or spawn candidates dropped into full cells (grid
+    # backend).  Expected departures are n_exited.
+    n_dropped: jnp.ndarray  # i32
     n_overflow: jnp.ndarray  # i32: cell-table overflow drops
     # peak per-cell demand this step (grid backend; 0 elsewhere) — the
     # Simulator grows table_capacity BEFORE demand reaches K, so cell
     # overflow never drops agents under gradual densification
     max_demand: jnp.ndarray = np.int32(0)
+    # agents that walked off the field this step (the reference's silent
+    # out-of-grid drop, neighbor_grid.rs:29) — EXPECTED on open scenarios,
+    # never warned about; grid backend only (the flat paths despawn
+    # off-field agents through the potential test a step later)
+    n_exited: jnp.ndarray = np.int32(0)
 
 
 def _spawn_cap(lam: float) -> int:

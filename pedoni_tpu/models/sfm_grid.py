@@ -22,10 +22,11 @@ Channel layout (dim 2 of D): 0 pos.x, 1 pos.y, 2 vel.x, 3 vel.y, 4 speed,
 5 dest, 6 active, 7 per-cell active count (valid at slot 0; the spawn
 scatter updates only slot 0, the rebin broadcasts it).
 
-Deviations from the flat path, both reported per step:
+Deviations from the flat path, all reported per step:
 - agents landing in a full cell are DROPPED (n_overflow), not frozen;
-- agents leaving the field vanish at the rebin (inside n_dropped), one
-  step earlier than the flat path's next-step despawn.
+- spawn candidates aimed at full cells are dropped (n_dropped);
+- agents leaving the field vanish at the rebin (n_exited — expected,
+  not a loss), one step earlier than the flat path's next-step despawn.
 """
 
 from __future__ import annotations
@@ -328,10 +329,13 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
         metrics = StepMetrics(
             n_active=n_active,
             n_spawned=n_spawned,
-            # out-of-field + cell-overflow losses, plus spawn drops
-            n_dropped=n_spawn_drop + (n_active - n_after) - n_overflow,
+            # actionable loss only: spawn candidates dropped in full cells
+            n_dropped=n_spawn_drop,
             n_overflow=n_overflow,
             max_demand=jnp.max(dmx).astype(jnp.int32),
+            # expected departures: agents that walked off the field
+            # (neighbor_grid.rs:29 semantics, dropped by the rebin)
+            n_exited=(n_active - n_after) - n_overflow,
         )
         return GridState(d=d_new, key=key, step=state.step + 1), metrics
 

@@ -292,11 +292,12 @@ def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh):
         metrics = StepMetrics(
             n_active=allsum(n_active),
             n_spawned=allsum(n_spawned),
-            n_dropped=allsum(n_spawn_drop + (n_active - n_after) - n_overflow),
+            n_dropped=allsum(n_spawn_drop),
             n_overflow=allsum(n_overflow),
             max_demand=jax.lax.pmax(
                 jax.lax.pmax(jnp.max(dmx), ROW_AXIS), COL_AXIS
             ).astype(jnp.int32),
+            n_exited=allsum((n_active - n_after) - n_overflow),
         )
         return d2, metrics
 

@@ -25,6 +25,7 @@ import logging
 import math
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .diagnostics import DiagnosticLog, StepRecord
@@ -35,6 +36,21 @@ from .scenario import Scenario
 from .utils.timing import Timer
 
 log = logging.getLogger(__name__)
+
+
+@jax.jit
+def _accumulate_metrics(tot, m):
+    """Device-side running totals for Simulator.run(): counters sum,
+    max_demand takes the max, n_active keeps the latest (it is a level,
+    not a flow).  One fused scalar kernel per step — run() stays
+    sync-free but no step's overflow/drop count is ever lost."""
+    return m._replace(
+        n_spawned=tot.n_spawned + m.n_spawned,
+        n_dropped=tot.n_dropped + m.n_dropped,
+        n_overflow=tot.n_overflow + m.n_overflow,
+        max_demand=jnp.maximum(tot.max_demand, m.max_demand),
+        n_exited=tot.n_exited + m.n_exited,
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,6 +143,8 @@ class Simulator:
         self.state = self._from_flat_state(
             make_initial_state(self.cfg, seed=options.seed))
         self.step_count = 0
+        self.last_metrics = None      # host StepMetrics of the last tick()
+        self.last_run_metrics = None  # totals of the latest run() call
 
     @staticmethod
     def _auto_capacity(scenario: Scenario) -> int:
@@ -229,18 +247,22 @@ class Simulator:
             metrics = jax.device_get(dmetrics)
             n_active = int(metrics.n_active)
         self.step_count += 1
+        self.last_metrics = metrics  # full host-side StepMetrics
 
         n_dropped = int(metrics.n_dropped)
         if n_dropped > 0:
             if self.options.backend == "grid":
-                # grid n_dropped = agents that left the field (the
-                # reference's silent neighbor_grid.rs:29 drop) + spawn
-                # candidates landing in full cells — not a capacity issue
-                log.warning("step %d: %d agents left the field or "
-                            "spawn-dropped", self.step_count, n_dropped)
+                log.warning("step %d: %d spawn candidates dropped into "
+                            "full cells", self.step_count, n_dropped)
             else:
                 log.warning("step %d: %d agents dropped at capacity",
                             self.step_count, n_dropped)
+        n_exited = int(metrics.n_exited)
+        if n_exited > 0:
+            # Expected departure (the reference drops off-grid agents
+            # silently, neighbor_grid.rs:29) — informational only.
+            log.debug("step %d: %d agents left the field",
+                      self.step_count, n_exited)
         if self.options.backend == "grid":
             if int(metrics.n_overflow) > 0:
                 # Reactive fallback: a cell jumped past K within one step
@@ -264,19 +286,26 @@ class Simulator:
 
     def run(self, n_steps: int, sync_every: int = 0) -> StepRecord:
         """Advance ``n_steps`` without per-step host syncs (throughput
-        mode): metrics stay on device and only the final step's record is
-        fetched.  ``sync_every`` > 0 adds periodic syncs to bound the
-        dispatch queue; at each sync point the grid backend ALSO checks
-        table saturation (peak cell demand >= K-1) and grows K drop-free,
-        and the flat backends check agent capacity (n_active > 80%) and
-        double it — the same growth tick() applies — so long throughput
-        runs survive densification on every backend."""
+        mode): metrics accumulate ON DEVICE (sums; max of max_demand) and
+        are fetched once at the end, so no step's counters are ever lost
+        — the totals land in :attr:`last_run_metrics` and loss warnings
+        fire exactly as in tick().  ``sync_every`` > 0 adds periodic syncs
+        to bound the dispatch queue; at each sync point the grid backend
+        ALSO checks table saturation (peak cell demand >= K-1) and grows K
+        drop-free, and the flat backends check agent capacity (n_active >
+        80%) and double it — the same growth tick() applies — so long
+        throughput runs survive densification on every backend."""
+        totals = None
         metrics = None
         with Timer() as t:
             for i in range(n_steps):
                 self.state, metrics = self._step(
                     self.state, self._field_rows, self._obstacles
                 )
+                # One tiny fused device op per step (scalar adds/max) —
+                # dispatch stays async, nothing syncs until the end.
+                totals = metrics if totals is None \
+                    else _accumulate_metrics(totals, metrics)
                 if sync_every and (i + 1) % sync_every == 0:
                     if (self.options.backend == "grid"
                             and int(metrics.max_demand)
@@ -287,8 +316,21 @@ class Simulator:
                         self._grow()  # flat-array capacity, like tick()
                     else:
                         jax.block_until_ready(self.state)
-            n_active = int(metrics.n_active)
+            totals = jax.device_get(totals) if totals is not None else None
+            n_active = int(totals.n_active) if totals is not None else 0
         self.step_count += n_steps
+        self.last_run_metrics = totals
+        if totals is not None:
+            if int(totals.n_dropped) > 0:
+                log.warning(
+                    "run(%d): %d %s over the run", n_steps,
+                    int(totals.n_dropped),
+                    "spawn candidates dropped into full cells"
+                    if self.options.backend == "grid"
+                    else "agents dropped at capacity")
+            if int(totals.n_overflow) > 0:
+                log.warning("run(%d): %d agents lost to cell overflow "
+                            "over the run", n_steps, int(totals.n_overflow))
         return StepRecord(
             active_ped_count=n_active,
             time_spawn=0.0,

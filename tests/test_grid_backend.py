@@ -268,7 +268,8 @@ def test_grid_overflow_reported():
     assert int(m.n_active) == 6          # all alive at force time
     assert int(m.n_overflow) == 3        # 6 landed in a K=3 cell
     assert float(jnp.sum(state2.d[:, :, 6, :])) == 3.0
-    assert int(m.n_dropped) == 0         # nobody left the field
+    assert int(m.n_dropped) == 0         # no spawn drops
+    assert int(m.n_exited) == 0          # nobody left the field
 
 
 def test_grid_all_pairs_unit_matches_xla_all_pairs():

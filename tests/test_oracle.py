@@ -264,22 +264,32 @@ def _evac_initial(seed):
     return pos, vel, speed, dest, active
 
 
+_ORACLE_EVAC_CACHE: dict = {}
+
+
 def _oracle_evac_steps(sc, field, seed):
+    # Cached per seed: the xla and grid parametrizations share one oracle
+    # run (600 pure-Python f64 steps each would otherwise run twice).
+    if seed in _ORACLE_EVAC_CACHE:
+        return _ORACLE_EVAC_CACHE[seed]
     pos, vel, speed, dest, active = _evac_initial(seed)
     p, v, a = pos, vel, active.copy()
+    steps = _EVAC_MAX + 1
     for i in range(1, _EVAC_MAX + 1):
         p, v, a = oracle_step(field, p, v, speed.astype(np.float64),
                               dest, a, sc.size, UNIT)
         if not a.any():
-            return i
-    return _EVAC_MAX + 1
+            steps = i
+            break
+    _ORACLE_EVAC_CACHE[seed] = steps
+    return steps
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize("backend", ["xla", "grid"])
 def test_evacuation_step_count_matches_oracle(evac_setup, backend):
     sc, field, maps, cfg = evac_setup
-    for seed in (1, 2):
+    for seed in (1, 2, 3):
         o_steps = _oracle_evac_steps(sc, field, seed)
         pos, vel, speed, dest, active = _evac_initial(seed)
         agents = AgentState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
@@ -302,11 +312,16 @@ def test_evacuation_step_count_matches_oracle(evac_setup, backend):
                             sfm_pallas.pallas_device_inputs(cfg, maps))
             step = jax.jit(sfm_grid.make_step_grid(cfg, maps))
             b_steps = _EVAC_MAX + 1
+            lost = 0
             for i in range(1, _EVAC_MAX + 1):
                 gs, m = step(gs, fwp, fobs)
+                lost += int(m.n_dropped) + int(m.n_overflow)
                 if int(m.n_active) == 0:
                     b_steps = i
                     break
+            # A cell-table overflow near the gap queue would make the
+            # evacuation "complete" early while masking a capacity bug.
+            assert lost == 0, f"grid seed {seed}: {lost} agents lost"
         assert o_steps <= _EVAC_MAX and b_steps <= _EVAC_MAX, (
             f"evacuation did not complete: oracle {o_steps}, "
             f"{backend} {b_steps}")

