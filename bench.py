@@ -32,7 +32,7 @@ import numpy as np
 
 def build_problem(n_agents: int, density: float, seed: int, backend: str,
                   table_capacity: int, chunk_size: int,
-                  domain: str = "auto"):
+                  domain: str = "auto", waypoints: int = 1):
     """The bench workload as raw pieces: (scenario, maps, cfg, flat state).
 
     Split out of build() so experiment scripts (scripts/ab_*.py) can drive
@@ -84,9 +84,20 @@ def build_problem(n_agents: int, density: float, seed: int, backend: str,
                 break
     else:
         w = h = side
+    # --waypoints W > 1: split the goal edge into W horizontal bands,
+    # one waypoint segment per band, agents bound for their OWN band's
+    # exit (evacuation.toml's nearest-exit shape, scaled).  Bands run
+    # along y because kernel blocks are ROW slabs: destination clustering
+    # in y is what the per-block waypoint-plane skip can exploit — the
+    # same reason the reference's per-agent O(1) map lookup
+    # (field.rs:235-239) is insensitive to waypoint count.
+    ys = np.linspace(1.0, h - 1.0, waypoints + 1)
     scenario = Scenario(
         size=(w, h),
-        waypoints=(Segment(line=((1.0, 1.0), (1.0, h - 1.0)), width=1.0),),
+        waypoints=tuple(
+            Segment(line=((1.0, float(ys[i])), (1.0, float(ys[i + 1]))),
+                    width=1.0)
+            for i in range(waypoints)),
         obstacles=(
             Segment(line=((w / 2, h / 4), (w / 2, h / 2)), width=2.0),
         ),
@@ -115,7 +126,12 @@ def build_problem(n_agents: int, density: float, seed: int, backend: str,
     ], axis=1).astype(np.float32)
     vel = np.zeros((capacity, 2), np.float32)
     speed = np.clip(rng.normal(1.34, 0.26, capacity), 0.1, None).astype(np.float32)
-    dest = np.zeros((capacity,), np.int32)
+    if waypoints > 1:
+        dest = np.clip(
+            np.searchsorted(ys[1:-1], pos[:, 1]), 0, waypoints - 1
+        ).astype(np.int32)
+    else:
+        dest = np.zeros((capacity,), np.int32)
     active = np.zeros((capacity,), bool)
     active[:n_agents] = True
 
@@ -129,19 +145,21 @@ def build_problem(n_agents: int, density: float, seed: int, backend: str,
 
 def build(n_agents: int, density: float, seed: int, backend: str,
           table_capacity: int, chunk_size: int, row_block: int = 2,
-          domain: str = "auto"):
+          domain: str = "auto", waypoints: int = 1, wp_skip: bool = True):
     import jax
 
     from pedoni_tpu.models.sfm import device_inputs, make_step
 
     _scenario, maps, cfg, state = build_problem(
-        n_agents, density, seed, backend, table_capacity, chunk_size, domain)
+        n_agents, density, seed, backend, table_capacity, chunk_size,
+        domain, waypoints)
     if backend == "grid":
         from pedoni_tpu.models import sfm_grid, sfm_pallas
 
         fwp, fobs = sfm_pallas.pallas_device_inputs(cfg, maps, row_block)
         state = jax.jit(lambda s: sfm_grid.bin_state(cfg, s, row_block))(state)
-        raw_step = jax.jit(sfm_grid.make_step_grid(cfg, maps, row_block))
+        raw_step = jax.jit(sfm_grid.make_step_grid(cfg, maps, row_block,
+                                                   wp_skip=wp_skip))
 
         def step(s):
             return raw_step(s, fwp, fobs)
@@ -186,6 +204,15 @@ def main() -> int:
     ap.add_argument("--row-block", type=int, default=2,
                     help="cell rows per kernel block (grid/pallas backends)")
     ap.add_argument("--chunk-size", type=int, default=16384)
+    ap.add_argument("--waypoints", type=int, default=1,
+                    help="destination count: W > 1 splits the goal edge "
+                         "into W band exits with nearest-exit assignment "
+                         "(the n_wp sensitivity axis; evacuation.toml "
+                         "class).  VMEM bounds W at full lane width — "
+                         "pair large W with --domain tiles:T")
+    ap.add_argument("--no-wp-skip", action="store_true",
+                    help="disable the per-block waypoint-plane skip "
+                         "(A/B arm; no effect at --waypoints 1)")
     ap.add_argument("--domain", default="auto",
                     help="auto = lane-exact rectangle at the measured "
                          "1024-lane sweet spot (100%% lane utilization, same "
@@ -256,7 +283,7 @@ def main() -> int:
             step, state, cfg = build(
                 args.agents, args.density, args.seed, args.backend,
                 args.table_capacity, args.chunk_size, args.row_block,
-                args.domain,
+                args.domain, args.waypoints, not args.no_wp_skip,
             )
             if args.backend != "xla":  # force compile inside the guard
                 state, _ = step(state)
@@ -364,6 +391,7 @@ def main() -> int:
         "ms_per_step": best * 1000.0,
         "method": f"best-of-{rounds}-rounds x 4 windows x {window} steps",
         "rounds": rounds,
+        "waypoints": args.waypoints,
     }))
     return 0
 

@@ -79,6 +79,10 @@ class StepMetrics(NamedTuple):
     # never warned about; grid backend only (the flat paths despawn
     # off-field agents through the potential test a step later)
     n_exited: jnp.ndarray = np.int32(0)
+    # peak per-cell MOVER count this step (incremental-rebin grid path;
+    # 0 elsewhere) — the Simulator grows the mover table before cells
+    # exceed it, keeping the fast hole-preserving rebin on its fast path
+    max_mover_demand: jnp.ndarray = np.int32(0)
 
 
 def _spawn_cap(lam: float) -> int:

@@ -40,8 +40,8 @@ import numpy as np
 from ..field import FieldMaps
 from ..ops import forcepass
 from ..ops.neighbor import compute_cell_ids
-from ..ops.pallas.rebin import rebin_kernel
-from ..ops.pallas.step_kernel import fused_step_kernel
+from ..ops.pallas.rebin import rebin_incremental, rebin_kernel
+from ..ops.pallas.step_kernel import fused_step_kernel, waypoint_block_mask
 from .sfm import AgentState, SimState, StepConfig, StepMetrics, _spawn_candidates
 from .sfm_pallas import pallas_device_inputs, supports  # noqa: F401  (same limits)
 
@@ -239,13 +239,17 @@ def assert_movement_fits_rebin(cfg: StepConfig) -> None:
     assert max_step < cfg.grid.unit, (max_step, cfg.grid.unit)
 
 
-def make_kernel_chain(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
+def make_kernel_chain(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
+                      incremental: bool = False, mover_k: int = 8,
+                      wp_skip: bool = True):
     """Kernels-only step (fused force kernel + rebin, no spawn/metrics):
     ``(d, fwp, fobs) -> d'``.  The measurement surface behind the
     diagnostic log's ``time_calc_state_kernel`` slot — the reference
     measured its OpenCL kernel time and discarded it
     (sfm_gpu.rs:229-236); here a chained timed run of this function
-    isolates device kernel time from spawn/metric/host overhead."""
+    isolates device kernel time from spawn/metric/host overhead.
+    ``incremental`` measures the hole-preserving fast path (no
+    compaction cond — the steady-state branch)."""
     from .sfm_pallas import stride_for
 
     if not supports(cfg, row_block):
@@ -255,6 +259,7 @@ def make_kernel_chain(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
     k, rb, ny_pad = dims.k, dims.rb, dims.ny_pad
     nb = ny_pad // rb
     interpret = jax.default_backend() != "tpu"
+    mk = min(mover_k, k)
 
     from .sfm_pallas import debug_segments
 
@@ -262,10 +267,23 @@ def make_kernel_chain(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
 
     def chain(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray):
         jmax = occupancy_bound(d, rb, nb, k)
+        wpm = (waypoint_block_mask(d, rb, fwp.shape[0]) if wp_skip
+               else None)
+        if incremental:
+            g, m, _movf, _mdmx = fused_step_kernel(
+                d, fwp, fobs, cfg.physics, cfg.scenario.size,
+                row_block=rb, interpret=interpret, jmax=jmax,
+                stride=stride, field_unit=cfg.field_unit,
+                segments=segs, emit_movers=mk, wp_mask=wpm)
+            mmax = occupancy_bound(m, rb, nb, mk)
+            d2, _ovf, _dmx = rebin_incremental(
+                g, m, cfg.grid.unit, cfg.grid.nx, cfg.grid.ny,
+                row_block=rb, interpret=interpret, jmax=jmax, mmax=mmax)
+            return d2
         g = fused_step_kernel(d, fwp, fobs, cfg.physics, cfg.scenario.size,
                               row_block=rb, interpret=interpret, jmax=jmax,
                               stride=stride, field_unit=cfg.field_unit,
-                              segments=segs)
+                              segments=segs, wp_mask=wpm)
         d2, _ovf, _dmx = rebin_kernel(g, cfg.grid.unit, cfg.grid.nx,
                                       cfg.grid.ny, row_block=rb,
                                       interpret=interpret, jmax=jmax)
@@ -274,9 +292,37 @@ def make_kernel_chain(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
     return chain
 
 
-def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
+def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
+                   incremental: bool = True, mover_k: int = 8,
+                   compact_every: int = 4, wp_skip: bool = True):
     """Build the grid-resident step:
-    (GridState, fwp, fobs) -> (GridState, StepMetrics)."""
+    (GridState, fwp, fobs) -> (GridState, StepMetrics).
+
+    ``incremental`` selects the hole-preserving rebin: kernel 1 also
+    emits a compacted per-cell mover table (at most ``mover_k`` movers
+    per cell) and the rebin walks ONLY movers — ~90% of agents stay in
+    their cell each step, so the candidate walk shrinks ~2.3x.  The
+    cadence matters and was measured (scripts/ab_incremental_rebin,
+    on-hardware alternating windows, round 4): never compacting LOSES
+    0.916x — holes freeze the occupancy bound (jmax trace ~13.7 flat vs
+    the compacting path's decay to ~9.7) and the pair pass is O(jmax) —
+    while the 1-full + 3-incremental hybrid WINS 1.086x (13.32 vs 14.46
+    ms/step at 1M): the periodic compaction keeps jmax decaying, the
+    incremental steps skip ~2/3 of the rebin's one-hot walk, and the
+    mover-pass emit costs only ~0.33 ms.  Hence compact_every=4 default.
+    Correctness guards, all in-graph (lax.cond, no host sync):
+    the step falls back to the FULL compacting rebin when (a) any cell
+    had more than mover_k movers this step (table overflow — no agent is
+    ever lost to it), (b) every ``compact_every``-th step (bounds hole
+    fragmentation and the occupancy-bound drift it causes), or (c) the
+    scenario spawns and some cell's top slot is near K (spawns append
+    ABOVE holes, so compaction reclaims the space before spawn drops).
+
+    ``wp_skip`` enables the per-block waypoint-plane skip (multi-waypoint
+    scenarios only; statically a no-op at one waypoint): each plane's
+    slab DMA + sampling runs only in blocks whose window holds an agent
+    bound for it — the reference's O(1)-maps-per-agent property
+    (sfm.rs:107, field.rs:235-239) at block granularity."""
     if not supports(cfg, row_block):
         raise ValueError(
             "grid backend needs an integral neighbor/field unit ratio and "
@@ -294,6 +340,7 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
     interpret = jax.default_backend() != "tpu"
     s = cfg.spawn.total
     assert_movement_fits_rebin(cfg)
+    mk = min(mover_k, k)
 
     def _jmax(d: jnp.ndarray) -> jnp.ndarray:
         return occupancy_bound(d, rb, nb, k)
@@ -310,19 +357,45 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
             n_spawn_drop = jnp.int32(0)
 
         jmax = _jmax(d)
-        g = fused_step_kernel(d, fwp, fobs, phys, cfg.scenario.size,
-                              row_block=rb, interpret=interpret, jmax=jmax,
-                              stride=stride, field_unit=cfg.field_unit,
-                              segments=segs)
+        wpm = (waypoint_block_mask(d, rb, fwp.shape[0]) if wp_skip
+               else None)
+        max_mover_demand = jnp.int32(0)
+        if incremental:
+            g, m, movf, mdmx = fused_step_kernel(
+                d, fwp, fobs, phys, cfg.scenario.size,
+                row_block=rb, interpret=interpret, jmax=jmax,
+                stride=stride, field_unit=cfg.field_unit,
+                segments=segs, emit_movers=mk, wp_mask=wpm)
+            mmax = occupancy_bound(m, rb, nb, mk)
+            need_full = (jnp.sum(movf) > 0.0) | (
+                jax.lax.rem(state.step, jnp.int32(compact_every)) == 0)
+            if s > 0:
+                need_full = need_full | (
+                    jnp.max(d[:, 0, 7, :]) >= float(k - 1))
+            d_new, ovf, dmx = jax.lax.cond(
+                need_full,
+                lambda g_, m_: rebin_kernel(
+                    g_, grid.unit, grid.nx, grid.ny, row_block=rb,
+                    interpret=interpret, jmax=jmax),
+                lambda g_, m_: rebin_incremental(
+                    g_, m_, grid.unit, grid.nx, grid.ny, row_block=rb,
+                    interpret=interpret, jmax=jmax, mmax=mmax),
+                g, m)
+            max_mover_demand = jnp.max(mdmx).astype(jnp.int32)
+        else:
+            g = fused_step_kernel(d, fwp, fobs, phys, cfg.scenario.size,
+                                  row_block=rb, interpret=interpret,
+                                  jmax=jmax, stride=stride,
+                                  field_unit=cfg.field_unit, segments=segs,
+                                  wp_mask=wpm)
+            # Both kernels emit ghost-carrying arrays, so the rebin
+            # consumes g directly and its output IS next step's state —
+            # no XLA-side pad/clamp copies; overflow/demand ride out as
+            # per-block scalars.
+            d_new, ovf, dmx = rebin_kernel(g, grid.unit, grid.nx, grid.ny,
+                                           row_block=rb,
+                                           interpret=interpret, jmax=jmax)
         n_active = jnp.sum(g[:, :, 6, :]).astype(jnp.int32)
-
-        # Both kernels emit ghost-carrying arrays, so the rebin consumes
-        # g directly and its output IS next step's state — the XLA-side
-        # pad/clamp copies (3 full-grid HBM round trips per step) are
-        # gone; overflow/demand ride out as per-block scalars.
-        d_new, ovf, dmx = rebin_kernel(g, grid.unit, grid.nx, grid.ny,
-                                       row_block=rb, interpret=interpret,
-                                       jmax=jmax)
         n_overflow = jnp.sum(ovf).astype(jnp.int32)
         n_after = jnp.sum(d_new[:, :, 6, :]).astype(jnp.int32)
 
@@ -336,6 +409,7 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
             # expected departures: agents that walked off the field
             # (neighbor_grid.rs:29 semantics, dropped by the rebin)
             n_exited=(n_active - n_after) - n_overflow,
+            max_mover_demand=max_mover_demand,
         )
         return GridState(d=d_new, key=key, step=state.step + 1), metrics
 

@@ -29,7 +29,7 @@ from ..field import FieldMaps
 from ..ops import forcepass
 from ..ops.neighbor import compute_cell_ids
 from ..ops.pallas.fields6 import Fields6
-from ..ops.pallas.step_kernel import fused_step_kernel
+from ..ops.pallas.step_kernel import fused_step_kernel, waypoint_block_mask
 from .sfm import AgentState, SimState, StepConfig, StepMetrics, _spawn_candidates
 
 PALLAS_UNIT = 1.5  # production neighbor unit (stride 6 at 0.25 m fields)
@@ -173,7 +173,9 @@ def make_step_pallas(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
         out = fused_step_kernel(dk, fwp, fobs, phys, cfg.scenario.size,
                                 row_block=rb, interpret=interpret, jmax=win,
                                 stride=stride, field_unit=cfg.field_unit,
-                                segments=debug_segments(cfg))
+                                segments=debug_segments(cfg),
+                                wp_mask=waypoint_block_mask(
+                                    dk, rb, fwp.shape[0]))
         out = out[1:-1]  # drop the ghost-carrying rows (this flat path
         #                  pays XLA glue per step anyway; the grid backend
         #                  is the one that consumes ghosts in place)

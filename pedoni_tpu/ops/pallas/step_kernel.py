@@ -159,11 +159,50 @@ def _segment_accel(posx, posy, segments, phys: Physics):
     return afx, afy
 
 
-def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_hbm,
-            window2, fwp2, fobs2, act_scr, outbuf, sems, out_sem, *, rb: int, k: int,
-            n_wp: int, phys: Physics, grid_w: float, grid_h: float,
-            stride: int = STRIDE, inv_unit: float = 4.0,
-            segments: tuple | None = None):
+def _kernel(jmax_ref, roff_ref, coff_ref, *rest, rb: int, k: int, mk: int,
+            wp_skip: bool, n_wp: int, phys: Physics, grid_w: float,
+            grid_h: float, stride: int = STRIDE, inv_unit: float = 4.0,
+            cell_unit: float = 1.5, segments: tuple | None = None):
+    """One kernel, three statically-selected modes:
+
+    mk == 0, wp_skip False   the round-3 fused step (OUT alone)
+    mk > 0                   incremental-rebin mode: channel 7 = stay
+                             mask + compacted per-cell mover table M
+    wp_skip True             per-block waypoint-plane skip: plane p's
+                             DMA + sampling run only when the block's
+                             wanted-plane bitmask (SMEM, from
+                             waypoint_block_mask) has bit p set — the
+                             reference's O(1) maps-per-agent property
+                             (sfm.rs:107, field.rs:235-239) recovered
+                             per block instead of per agent.
+    """
+    idx = 0
+    want_ref = None
+    if wp_skip:
+        want_ref, idx = rest[0], 1
+    d_hbm, fwp_hbm, fobs_hbm, out_hbm = rest[idx : idx + 4]
+    idx += 4
+    if mk:
+        m_hbm, movf_ref, mdmx_ref = rest[idx : idx + 3]
+        idx += 3
+    window2, fwp2, fobs2, act_scr, outbuf = rest[idx : idx + 5]
+    idx += 5
+    mbuf = None
+    wp_scr = None
+    if mk:
+        mbuf = rest[idx]
+        idx += 1
+    if wp_skip:
+        wp_scr = rest[idx : idx + 3]  # pot/gx/gy accumulators
+        idx += 3
+    sems = rest[idx]
+    idx += 1
+    wsems = None
+    if wp_skip:
+        wsems = rest[idx]
+        idx += 1
+    out_sem = rest[idx]
+
     i = pl.program_id(0)
     jmax = jmax_ref[i]
 
@@ -183,81 +222,116 @@ def _kernel(jmax_ref, roff_ref, coff_ref, d_hbm, fwp_hbm, fobs_hbm, out_hbm,
     # benches never take this path; sparse production grids (evacuation
     # endgames, localized crowds in large fields) skip the full window +
     # field-slab DMA and the per-row sampling pass for most blocks.
+    # The waypoint skip gates each plane's slab copy the same way (start
+    # and wait under the same target-block condition, so semaphores stay
+    # balanced); a skipped plane's VMEM slab holds stale bytes that the
+    # gated sampling pass never reads.
     slot = jax.lax.rem(i, 2)
 
-    def _copies(j, s):
+    def _base_copies(j, s):
         flen = fwp2.shape[2]
         fstart = j * (stride * rb) + ROW0
-        return (
+        cs = [
             pltpu.make_async_copy(d_hbm.at[pl.ds(j * rb, rb + 2)],
                                   window2.at[s], sems.at[s, 0]),
-            pltpu.make_async_copy(fwp_hbm.at[:, pl.ds(fstart, flen)],
-                                  fwp2.at[s], sems.at[s, 1]),
             pltpu.make_async_copy(fobs_hbm.at[pl.ds(fstart, flen)],
                                   fobs2.at[s], sems.at[s, 2]),
-        )
+        ]
+        if not wp_skip:
+            cs.append(
+                pltpu.make_async_copy(fwp_hbm.at[:, pl.ds(fstart, flen)],
+                                      fwp2.at[s], sems.at[s, 1]))
+        return cs
 
-    @pl.when((i == 0) & (jmax > 0))
-    def _issue_first():
-        for c in _copies(0, 0):
-            c.start()
+    def _plane_copy(j, s, p):
+        flen = fwp2.shape[2]
+        fstart = j * (stride * rb) + ROW0
+        return pltpu.make_async_copy(
+            fwp_hbm.at[p, pl.ds(fstart, flen)], fwp2.at[s, p],
+            wsems.at[s, p])
 
-    @pl.when(jmax > 0)
-    def _wait_inputs():
-        for c in _copies(i, slot):
-            c.wait()
+    def _plane_bit(jc, p):
+        # jc must be a CLAMPED block index (like the jmax_ref[nxt] read):
+        # the value only matters when the surrounding condition is true.
+        return ((want_ref[jc, p // 31] >> (p % 31)) & 1) > 0
+
+    def _move_inputs(cond, j, jc, s, op):
+        @pl.when(cond)
+        def _base():
+            for c in _base_copies(j, s):
+                getattr(c, op)()
+        if wp_skip:
+            for p in range(n_wp):
+                @pl.when(cond & _plane_bit(jc, p))
+                def _plane(p=p):
+                    getattr(_plane_copy(j, s, p), op)()
+
+    zero = jnp.int32(0)
+    _move_inputs((i == 0) & (jmax > 0), zero, zero, 0, "start")
+    _move_inputs(jmax > 0, i, i, slot, "wait")
 
     # (clamped read: jmax_ref[i+1] would be out of bounds on the last
     # block — the condition masks the clamp's aliased value.)
     nxt = jnp.minimum(i + 1, pl.num_programs(0) - 1)
-
-    @pl.when((i + 1 < pl.num_programs(0)) & (jmax_ref[nxt] > 0))
-    def _prefetch_next():
-        for c in _copies(i + 1, 1 - slot):
-            c.start()
+    _move_inputs((i + 1 < pl.num_programs(0)) & (jmax_ref[nxt] > 0),
+                 i + 1, nxt, 1 - slot, "start")
 
     @pl.when(jmax == 0)
     def _empty_block():
         outbuf[:] = jnp.zeros_like(outbuf[:])
+        if mk:
+            mbuf[:] = jnp.zeros_like(mbuf[:])
+            movf_ref[i] = 0.0
+            mdmx_ref[i] = 0.0
 
     @pl.when(jmax > 0)
     def _compute_block():
         _compute(i, jmax, roff_ref, coff_ref, window2.at[slot],
                  fwp2.at[slot], fobs2.at[slot], act_scr, outbuf, rb=rb,
                  k=k, n_wp=n_wp, phys=phys, grid_w=grid_w, grid_h=grid_h,
-                 stride=stride, inv_unit=inv_unit, segments=segments)
+                 stride=stride, inv_unit=inv_unit, segments=segments,
+                 cell_unit=cell_unit if mk else None,
+                 wp_gate=(want_ref, *wp_scr) if wp_skip else None)
+        if mk:
+            _mover_pass(i, jmax, act_scr, outbuf, mbuf, movf_ref,
+                        mdmx_ref, rb=rb, mk=mk)
 
     # Ghost-carrying output: center rows land at [1 + i*rb, 1 + i*rb + rb);
     # the edge blocks also zero the ghost rows so downstream consumers
     # never pad.  The output DMA is ~0.3 us/block vs ~70 us of compute,
     # so start+wait (no double buffering) costs nothing measurable.
-    co = pltpu.make_async_copy(
-        outbuf, out_hbm.at[pl.ds(i * rb + 1, rb)], out_sem)
-    co.start()
-    co.wait()
+    outs = [(outbuf, out_hbm)] + ([(mbuf, m_hbm)] if mk else [])
+    for buf, hbm in outs:
+        co = pltpu.make_async_copy(buf, hbm.at[pl.ds(i * rb + 1, rb)],
+                                   out_sem)
+        co.start()
+        co.wait()
 
     @pl.when(i == 0)
     def _write_top_ghost():
-        outbuf[0:1] = jnp.zeros_like(outbuf[0:1])
-        cz = pltpu.make_async_copy(
-            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(0, 1)], out_sem)
-        cz.start()
-        cz.wait()
+        for buf, hbm in outs:
+            buf[0:1] = jnp.zeros_like(buf[0:1])
+            cz = pltpu.make_async_copy(
+                buf.at[pl.ds(0, 1)], hbm.at[pl.ds(0, 1)], out_sem)
+            cz.start()
+            cz.wait()
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _write_bottom_ghost():
-        outbuf[0:1] = jnp.zeros_like(outbuf[0:1])
         nyp1 = pl.num_programs(0) * rb + 1
-        cz = pltpu.make_async_copy(
-            outbuf.at[pl.ds(0, 1)], out_hbm.at[pl.ds(nyp1, 1)], out_sem)
-        cz.start()
-        cz.wait()
+        for buf, hbm in outs:
+            buf[0:1] = jnp.zeros_like(buf[0:1])
+            cz = pltpu.make_async_copy(
+                buf.at[pl.ds(0, 1)], hbm.at[pl.ds(nyp1, 1)], out_sem)
+            cz.start()
+            cz.wait()
 
 
 def _compute(i, jmax, roff_ref, coff_ref, window, fwp, fobs, act_scr,
              outbuf, *, rb: int, k: int, n_wp: int, phys: Physics,
              grid_w: float, grid_h: float, stride: int, inv_unit: float,
-             segments: tuple | None):
+             segments: tuple | None, cell_unit: float | None = None,
+             wp_gate: tuple | None = None):
     """The occupied-block body: sanitize, sample, forces, integrate,
     fill ``outbuf`` with the post-step center rows.  (``i``/``jmax`` =
     pl.program_id(0) and this block's occupancy bound, passed in: calling
@@ -299,6 +373,52 @@ def _compute(i, jmax, roff_ref, coff_ref, window, fwp, fobs, act_scr,
     # flag to the pair pass, so they sample just the potential channel of
     # the destination plane — gradients, the obstacle plane and the force
     # terms are center-row-only work.
+    if wp_gate is not None:
+        # Waypoint-plane skip: plane-major gated sampling.  Each plane's
+        # 64-tap pass runs only when this block's wanted-plane bit is set
+        # (any active agent in the rb+2-row window has dest == plane, by
+        # waypoint_block_mask construction), accumulating into VMEM
+        # scratch the per-row pass below then reads.  Tap coords are
+        # recomputed per (plane, row) — ~10 elem-ops vs the ~400 of a
+        # sampled plane-row, and only for planes actually present.
+        # Accumulation via where(sel, v, acc) is exact: each agent has
+        # ONE dest, so exactly one plane writes each lane.
+        want_ref, pot_scr, gx_scr, gy_scr = wp_gate
+        for w in range(rb + 2):
+            pot_scr[w] = jnp.zeros_like(pot_scr[w])
+            if 1 <= w <= rb:
+                gx_scr[w - 1] = jnp.zeros_like(gx_scr[w - 1])
+                gy_scr[w - 1] = jnp.zeros_like(gy_scr[w - 1])
+        for plane in range(n_wp):
+            @pl.when(((want_ref[i, plane // 31] >> (plane % 31)) & 1) > 0)
+            def _sample_plane(plane=plane):
+                for w in range(rb + 2):
+                    is_center = 1 <= w <= rb
+                    posx = window[w, :, 0, :]
+                    posy = window[w, :, 1, :]
+                    dest = window[w, :, 5, :]
+                    px = posx * inv_unit - 0.5 + FPAD
+                    py = posy * inv_unit - 0.5 + FPAD
+                    bx = jnp.floor(px)
+                    by = jnp.floor(py)
+                    tx = px - bx
+                    ty = py - by
+                    p0 = bx - (lane - 1.0) * stride - ROW0
+                    q0 = by - (r0 - 1.0 + w) * stride - ROW0
+                    base_row = stride * w
+                    sel = dest == plane
+                    if is_center:
+                        v0, v1, v2 = _sample_row(fwp.at[plane], base_row,
+                                                 q0, p0, tx, ty,
+                                                 stride=stride)
+                        gx_scr[w - 1] = jnp.where(sel, v1, gx_scr[w - 1])
+                        gy_scr[w - 1] = jnp.where(sel, v2, gy_scr[w - 1])
+                    else:
+                        (v0,) = _sample_row(fwp.at[plane], base_row, q0,
+                                            p0, tx, ty, channels=(0,),
+                                            stride=stride)
+                    pot_scr[w] = jnp.where(sel, v0, pot_scr[w])
+
     exs, eys, acts, accfx, accfy, pots = [], [], [], [], [], []
     for w in range(rb + 2):
         is_center = 1 <= w <= rb
@@ -322,20 +442,26 @@ def _compute(i, jmax, roff_ref, coff_ref, window, fwp, fobs, act_scr,
         q0 = by - (r0 - 1.0 + w) * stride - ROW0
         base_row = stride * w
 
-        pot = jnp.zeros_like(posx)
-        gx = jnp.zeros_like(posx)
-        gy = jnp.zeros_like(posx)
-        for plane in range(n_wp):
-            sel = dest == plane
-            if is_center:
-                v0, v1, v2 = _sample_row(fwp.at[plane], base_row, q0, p0,
-                                         tx, ty, stride=stride)
-                gx = jnp.where(sel, v1, gx)
-                gy = jnp.where(sel, v2, gy)
-            else:
-                (v0,) = _sample_row(fwp.at[plane], base_row, q0, p0, tx, ty,
-                                    channels=(0,), stride=stride)
-            pot = jnp.where(sel, v0, pot)
+        if wp_gate is not None:
+            pot = pot_scr[w]
+            gx = gx_scr[w - 1] if is_center else None
+            gy = gy_scr[w - 1] if is_center else None
+        else:
+            pot = jnp.zeros_like(posx)
+            gx = jnp.zeros_like(posx)
+            gy = jnp.zeros_like(posx)
+            for plane in range(n_wp):
+                sel = dest == plane
+                if is_center:
+                    v0, v1, v2 = _sample_row(fwp.at[plane], base_row, q0,
+                                             p0, tx, ty, stride=stride)
+                    gx = jnp.where(sel, v1, gx)
+                    gy = jnp.where(sel, v2, gy)
+                else:
+                    (v0,) = _sample_row(fwp.at[plane], base_row, q0, p0,
+                                        tx, ty, channels=(0,),
+                                        stride=stride)
+                pot = jnp.where(sel, v0, pot)
 
         # Despawn (sfm.rs:69) + out-of-grid (neighbor_grid.rs:29).
         in_grid = (posx >= 0.0) & (posx < grid_w) & (posy >= 0.0) & (posy < grid_h)
@@ -444,7 +570,62 @@ def _compute(i, jmax, roff_ref, coff_ref, window, fwp, fobs, act_scr,
     outbuf[:, :, 4, :] = speed
     outbuf[:, :, 5, :] = window[1 : 1 + rb, :, 5, :]
     outbuf[:, :, 6, :] = act_c
-    outbuf[:, :, 7, :] = jnp.stack(pots[1 : 1 + rb])
+    if cell_unit is None:
+        outbuf[:, :, 7, :] = jnp.stack(pots[1 : 1 + rb])
+    else:
+        # Incremental-rebin mode: channel 7 carries the STAY mask (active
+        # AND integrated position still in its own cell) instead of the
+        # sampled potential, and the mover mask parks in act_scr rows
+        # [0, rb) (the pair pass is done with them) for the mover pass.
+        # Classification math must match the rebin's EXACTLY (f32 divide
+        # then floor, ops/pallas/rebin.py) so both kernels agree on who
+        # moved at cell boundaries.
+        lane3 = lane[:, None, :]  # [1, 1, nxl] global lane coordinate
+        rowc = (jax.lax.broadcasted_iota(jnp.int32, (rb, 1, 1), 0)
+                .astype(jnp.float32) + r0)
+        same = jnp.where(
+            (jnp.floor(npx / cell_unit) + 1.0 == lane3)
+            & (jnp.floor(npy / cell_unit) == rowc),
+            1.0, 0.0)
+        stay = act_c * same
+        outbuf[:, :, 7, :] = stay
+        for w in range(rb):
+            act_scr[w] = act_c[w] * (1.0 - same[w])
+
+
+def _mover_pass(i, jmax, act_scr, outbuf, mbuf, movf_ref, mdmx_ref, *,
+                rb: int, mk: int):
+    """Compact this block's movers (mask in act_scr rows [0, rb), values
+    in outbuf) into per-cell mover-table rows in ``mbuf``.
+
+    One one-hot MAC per source slot at MK(=8) sublane width — ~0.35x the
+    cost of a K-wide op — so the rebin can walk 9*mmax mover candidates
+    instead of 9*jmax occupants (rebin_incremental).  Channel 7 = per-cell
+    mover count (clamped to MK); movers beyond MK are dropped FROM THE
+    TABLE ONLY and reported via movf — the step falls back to the full
+    rebin for that step, so no agent is ever lost."""
+    nxl = outbuf.shape[-1]
+    mk_iota = jax.lax.broadcasted_iota(jnp.int32, (1, mk, 1), 1).astype(
+        jnp.float32)
+    mcnt0 = jnp.zeros((rb, 1, nxl), jnp.float32)
+    mouts0 = tuple(jnp.zeros((rb, mk, nxl), jnp.float32) for _ in range(6))
+
+    def body(j, carry):
+        mcnt, *mouts = carry
+        mvj = act_scr[0:rb, pl.ds(j, 1), :]
+        onehot = jnp.where(mk_iota == mcnt, mvj, 0.0)
+        vals = [outbuf[:, pl.ds(j, 1), c, :] for c in range(6)]
+        mouts = [o + onehot * v for o, v in zip(mouts, vals)]
+        return (mcnt + mvj, *mouts)
+
+    mcnt, *mouts = jax.lax.fori_loop(0, jmax, body, (mcnt0, *mouts0))
+    for c in range(6):
+        mbuf[:, :, c, :] = mouts[c]
+    mbuf[:, :, 6, :] = jnp.where(mk_iota < mcnt, 1.0, 0.0)
+    mbuf[:, :, 7, :] = jnp.broadcast_to(
+        jnp.minimum(mcnt, float(mk)), (rb, mk, nxl))
+    movf_ref[i] = jnp.sum(jnp.maximum(mcnt - float(mk), 0.0))
+    mdmx_ref[i] = jnp.max(mcnt)
 
 
 def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
@@ -455,7 +636,9 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
                       col_offset: jnp.ndarray | None = None,
                       stride: int = STRIDE,
                       field_unit: float = 0.25,
-                      segments: tuple | None = None) -> jnp.ndarray:
+                      segments: tuple | None = None,
+                      emit_movers: int = 0,
+                      wp_mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Run the fused sample+forces+integrate kernel.
 
     d    [ny_pad+2, K, 8, NXL]  (NXL % 128 == 0, ny_pad % row_block == 0)
@@ -477,6 +660,16 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
     uses exact per-segment distances (the reference's --no-distance-map
     mode, sfm.rs:194-237) instead of sampling ``fobs``; ``fobs`` is
     still DMA'd (interface stability) but never read.
+    emit_movers: 0 (default) returns OUT alone with channel 7 = sampled
+    potential; MK > 0 switches channel 7 to the STAY mask and returns
+    (OUT, M [ny_pad+2, MK, 8, NXL] compacted per-cell mover table with
+    ch 7 = mover count, movf [nb] table-overflow counts, mdmx [nb] peak
+    mover demand) — the inputs of ops/pallas/rebin.rebin_incremental.
+    wp_mask: optional [nb, ceil(n_wp/31)] i32 wanted-plane bitmask from
+    ``waypoint_block_mask`` — enables the per-block waypoint-plane skip
+    (each plane's slab DMA + sampling pass runs only for blocks whose
+    window holds an agent bound for it).  None or n_wp == 1 leaves the
+    kernel byte-identical to the ungated build.
     Returns OUT [ny_pad+2, K, 8, NXL], ghost-carrying (rows 0 and
     ny_pad+1 zeroed).
     """
@@ -499,36 +692,109 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
     if col_offset is None:
         col_offset = jnp.zeros((1,), jnp.int32)
 
+    wp_skip = wp_mask is not None and n_wp > 1
+    mk = emit_movers
+    if wp_skip:
+        wp_w = (n_wp + 30) // 31
+        assert wp_mask.shape == (nb, wp_w) and wp_mask.dtype == jnp.int32, (
+            wp_mask.shape, wp_mask.dtype, (nb, wp_w))
+
     kernel = functools.partial(
-        _kernel, rb=rb, k=k, n_wp=n_wp, phys=phys,
+        _kernel, rb=rb, k=k, mk=mk, wp_skip=wp_skip, n_wp=n_wp, phys=phys,
         grid_w=grid_size[0], grid_h=grid_size[1],
         stride=stride, inv_unit=1.0 / field_unit,
-        segments=segments,
+        cell_unit=stride * field_unit, segments=segments,
     )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    any_ = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [smem, smem, smem] + ([smem] if wp_skip else []) + [any_] * 3
+    args = ((jmax, row_offset, col_offset)
+            + ((wp_mask,) if wp_skip else ()) + (d, fwp, fobs))
+    if mk:
+        out_specs = [any_, any_,
+                     pl.BlockSpec((nb,), lambda i: (0,),
+                                  memory_space=pltpu.SMEM),
+                     pl.BlockSpec((nb,), lambda i: (0,),
+                                  memory_space=pltpu.SMEM)]
+        out_shape = [
+            jax.ShapeDtypeStruct((ny_pad + 2, k, 8, nxl), jnp.float32),
+            jax.ShapeDtypeStruct((ny_pad + 2, mk, 8, nxl), jnp.float32),
+            jax.ShapeDtypeStruct((nb,), jnp.float32),
+            jax.ShapeDtypeStruct((nb,), jnp.float32),
+        ]
+    else:
+        out_specs = any_
+        out_shape = jax.ShapeDtypeStruct((ny_pad + 2, k, 8, nxl),
+                                         jnp.float32)
+    scratch = [
+        pltpu.VMEM((2, rb + 2, k, 8, nxl), jnp.float32),
+        pltpu.VMEM((2, n_wp, flen, stride, N_CH, nxl), jnp.float32),
+        pltpu.VMEM((2, flen, stride, N_CH, nxl), jnp.float32),
+        pltpu.VMEM((rb + 2, k, nxl), jnp.float32),
+        pltpu.VMEM((rb, k, 8, nxl), jnp.float32),
+    ]
+    if mk:
+        scratch.append(pltpu.VMEM((rb, mk, 8, nxl), jnp.float32))
+    if wp_skip:
+        scratch += [pltpu.VMEM((rb + 2, k, nxl), jnp.float32),
+                    pltpu.VMEM((rb, k, nxl), jnp.float32),
+                    pltpu.VMEM((rb, k, nxl), jnp.float32)]
+    scratch.append(pltpu.SemaphoreType.DMA((2, 3)))
+    if wp_skip:
+        scratch.append(pltpu.SemaphoreType.DMA((2, n_wp)))
+    scratch.append(pltpu.SemaphoreType.DMA)
     return pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((ny_pad + 2, k, 8, nxl), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, rb + 2, k, 8, nxl), jnp.float32),
-            pltpu.VMEM((2, n_wp, flen, stride, N_CH, nxl), jnp.float32),
-            pltpu.VMEM((2, flen, stride, N_CH, nxl), jnp.float32),
-            pltpu.VMEM((rb + 2, k, nxl), jnp.float32),
-            pltpu.VMEM((rb, k, 8, nxl), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA,
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(jmax, row_offset, col_offset, d, fwp, fobs)
+    )(*args)
+
+
+def waypoint_block_mask(d: jnp.ndarray, row_block: int,
+                        n_wp: int) -> jnp.ndarray | None:
+    """Per-block wanted-waypoint-plane bitmask for the waypoint skip.
+
+    The reference samples exactly ONE potential map per agent
+    (sfm.rs:107, field.rs:235-239 — O(1) in waypoint count); the fused
+    kernel's lane-parallel sampling instead visits every plane.  This
+    mask restores the asymptotics at block granularity: bit p of word
+    ``out[b, p // 31]`` is set iff any ACTIVE agent in block b's
+    (rb+2)-row window has dest == p, so the kernel runs plane p's slab
+    DMA + 64-tap pass only where someone actually wants it.  In
+    destination-clustered crowds (evacuation.toml's 33 waypoints feeding
+    distinct exits) each block wants ~1-2 planes.
+
+    Cost: one act/dest channel read + an OR-reduce — O(grid), no index
+    ops; the shifted-slice window OR matches how block b's window rows
+    are b*rb .. b*rb+rb+1 of d (ghost rows included, they are zero).
+    31 planes per word keeps the shift off the i32 sign bit.
+    """
+    if n_wp <= 1:
+        return None
+    ny2 = d.shape[0]
+    rb = row_block
+    nb = (ny2 - 2) // rb
+    act = d[:, :, 6, :] > 0.5
+    dest = d[:, :, 5, :].astype(jnp.int32)
+    words = []
+    for w in range((n_wp + 30) // 31):
+        lo = w * 31
+        bits = jnp.where(
+            act & (dest >= lo) & (dest < lo + 31),
+            jnp.left_shift(jnp.int32(1), jnp.clip(dest - lo, 0, 30)),
+            jnp.int32(0))
+        rowbits = jax.lax.reduce(bits, jnp.int32(0), jax.lax.bitwise_or,
+                                 (1, 2))  # [ny2]
+        blk = jax.lax.slice(rowbits, (0,), ((nb - 1) * rb + 1,), (rb,))
+        for off in range(1, rb + 2):
+            blk = blk | jax.lax.slice(rowbits, (off,),
+                                      (off + (nb - 1) * rb + 1,), (rb,))
+        words.append(blk)
+    return jnp.stack(words, axis=1)  # [nb, ceil(n_wp/31)]

@@ -72,6 +72,22 @@ class SimulatorOptions:
     n_devices: int = 1  # >1 = spatial sharding (grid backend only)
     tile: tuple[int, int] | None = None  # (rows, cols) 2D device tiling;
     #                        None = row strips (rows = n_devices, cols = 1)
+    # Incremental (hole-preserving) rebin on the single-device grid
+    # backend: ~90% of agents do not change cell per step, so the rebin
+    # walks only the compacted mover table on non-compaction steps.
+    # compact_every=4 is the measured winner (1.086x at 1M: 13.32 vs
+    # 14.46 ms/step, scripts/ab_incremental_rebin.py round 4) — never
+    # compacting LOSES (holes freeze the occupancy bound the O(jmax)
+    # pair pass runs to; see make_step_grid's docstring).
+    # mover_capacity = mover-table slots per cell (grown preemptively
+    # like table_capacity).
+    incremental_rebin: bool = True
+    mover_capacity: int = 8
+    compact_every: int = 4
+    # Per-block waypoint-plane skip (multi-waypoint scenarios; statically
+    # a no-op at one waypoint): plane DMA + sampling run only in blocks
+    # whose window holds an agent bound for that plane.
+    wp_skip: bool = True
 
     def resolve_tile(self) -> tuple[int, int]:
         if self.tile is not None:
@@ -208,10 +224,16 @@ class Simulator:
                     self.cfg, self.maps, row_block=o.row_block)
                 self._field_rows = fwp  # first step arg
                 self._obstacles = fobs  # second step arg
-                make = (sfm_grid.make_step_grid if o.backend == "grid"
-                        else sfm_pallas.make_step_pallas)
-                self._step = jax.jit(
-                    make(self.cfg, self.maps, row_block=o.row_block))
+                if o.backend == "grid":
+                    self._step = jax.jit(sfm_grid.make_step_grid(
+                        self.cfg, self.maps, row_block=o.row_block,
+                        incremental=o.incremental_rebin,
+                        mover_k=o.mover_capacity,
+                        compact_every=o.compact_every,
+                        wp_skip=o.wp_skip))
+                else:
+                    self._step = jax.jit(sfm_pallas.make_step_pallas(
+                        self.cfg, self.maps, row_block=o.row_block))
         else:
             field, obstacles = device_inputs(self.cfg, self.maps)
             self._field_rows = field.rows
@@ -275,6 +297,14 @@ class Simulator:
                 # (cells gain at most a few agents per step, so K-1 is an
                 # early-warning threshold, not a cliff).
                 self._grow_table(0)
+            elif (int(metrics.max_mover_demand)
+                  >= self.options.mover_capacity - 1
+                  and self.options.mover_capacity
+                  < self.options.table_capacity):
+                # Mover-table growth is a PERF trigger, not a safety one:
+                # table overflow already falls back in-graph to the full
+                # rebin with no loss; growing keeps the fast path fast.
+                self._grow_movers()
         elif n_active > 0.8 * self.cfg.capacity:
             self._grow()
 
@@ -363,6 +393,25 @@ class Simulator:
         self._build(self.cfg.capacity)
         self.state = self._from_flat_state(flat)
 
+    def _grow_movers(self) -> None:
+        """Grow the incremental rebin's per-cell mover table (capped at
+        K) and re-jit — purely a fast-path-retention move; overflowing
+        the mover table only costs a full-rebin step, never an agent."""
+        old_mk = self.options.mover_capacity
+        new_mk = min(old_mk + max(2, old_mk // 2),
+                     self.options.table_capacity)
+        if new_mk == old_mk:
+            return
+        flat = self._to_flat_state()
+        self.options = dataclasses.replace(
+            self.options, mover_capacity=new_mk)
+        log.info(
+            "step %d: peak mover demand reached %d; growing mover table "
+            "%d -> %d (fast-path retention)",
+            self.step_count, old_mk - 1, old_mk, new_mk)
+        self._build(self.cfg.capacity)
+        self.state = self._from_flat_state(flat)
+
     def measure_kernel_time(self, n: int = 10) -> float | None:
         """Device-side execution time (seconds/step) of the two Pallas
         kernels alone — the ``time_calc_state_kernel`` diagnostic slot
@@ -377,7 +426,10 @@ class Simulator:
 
         if getattr(self, "_kernel_chain", None) is None:
             self._kernel_chain = jax.jit(sfm_grid.make_kernel_chain(
-                self.cfg, self.maps, row_block=self.options.row_block))
+                self.cfg, self.maps, row_block=self.options.row_block,
+                incremental=self.options.incremental_rebin,
+                mover_k=self.options.mover_capacity,
+                wp_skip=self.options.wp_skip))
         d = self._kernel_chain(self.state.d, self._field_rows,
                                self._obstacles)  # warm + drain the queue
         float(d[0, 0, 0, 0])

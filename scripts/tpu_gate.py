@@ -20,6 +20,12 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+# Recorded best-of-5x100 kernels-only chain time (ms/step) at the gate's
+# fixed tiny shape, measured through the shared tunnel (the minimum is
+# the chip's own time; congestion only adds).  0 = record mode (print,
+# never fail).  Re-record after intentional, measured kernel changes.
+_GATE_BAND_MS = 0.401
+
 
 def main() -> int:
     import jax
@@ -185,9 +191,73 @@ width = 1
               f"{type(e).__name__}: {e}", file=sys.stderr)
         return 1
 
+    # Waypoint-plane skip on hardware: gated sampling + per-plane DMA
+    # must be bit-exact on active slots vs the ungated kernel (inactive
+    # slots may differ in channel 7 — ungated samples planes for garbage
+    # positions; no consumer reads them).
+    try:
+        from pedoni_tpu.ops.pallas.step_kernel import waypoint_block_mask
+
+        dg = sfm_grid.bin_state(cfg, state0).d
+        wpm = waypoint_block_mask(dg, 2, int(fwp.shape[0]))
+        g_off = np.asarray(fused_step_kernel(
+            dg, fwp, fobs, cfg.physics, sc.size, row_block=2,
+            stride=sfm_pallas.stride_for(cfg), field_unit=cfg.field_unit))
+        g_on = np.asarray(fused_step_kernel(
+            dg, fwp, fobs, cfg.physics, sc.size, row_block=2,
+            stride=sfm_pallas.stride_for(cfg), field_unit=cfg.field_unit,
+            wp_mask=wpm))
+        act_m = g_off[:, :, 6, :] > 0.5
+        if not all((g_on[:, :, c, :][act_m] == g_off[:, :, c, :][act_m]).all()
+                   for c in range(8)):
+            print("FATAL: waypoint-plane skip not bit-exact on hardware",
+                  file=sys.stderr)
+            return 1
+    except Exception as e:
+        print(f"FATAL: waypoint-skip Mosaic compile/run FAILED: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+        return 1
+
+    # Hardware perf band (VERDICT round-3 ask #5): a timed kernels-only
+    # chain at this fixed small shape, best of several windows so tunnel
+    # congestion (which only ever ADDS time) cannot fail a healthy
+    # kernel.  Band recorded on hardware 2026-08-19; fail loud on >25%
+    # regression so a de-optimized kernel is caught at gate time instead
+    # of at the next round's bench capture.  Override / re-record with
+    # PEDONI_GATE_BAND_MS=<float> (0 disables).
+    import os
+    import time
+
+    band_ms = float(os.environ.get("PEDONI_GATE_BAND_MS", _GATE_BAND_MS))
+    try:
+        chain = jax.jit(sfm_grid.make_kernel_chain(cfg, maps, row_block=2))
+        d = chain(dg, fwp, fobs)
+        float(jnp.sum(d[0, 0, 0, :8]))  # warm + fence
+        best = float("inf")
+        for _ in range(5):
+            d = dg
+            t0 = time.perf_counter()
+            for _ in range(100):
+                d = chain(d, fwp, fobs)
+            float(jnp.sum(d[0, 0, 0, :8]))
+            best = min(best, (time.perf_counter() - t0) / 100 * 1000)
+    except Exception as e:
+        print(f"FATAL: perf-band chain compile/run FAILED: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+        return 1
+    if band_ms > 0 and best > band_ms * 1.25:
+        print(f"FATAL: kernel-chain perf regression: {best:.3f} ms/step "
+              f"vs recorded band {band_ms:.3f} ms (+25% allowed). "
+              "If a slowdown is intentional and measured, re-record with "
+              "PEDONI_GATE_BAND_MS and update _GATE_BAND_MS.",
+              file=sys.stderr)
+        return 1
+
     print(f"tpu_gate OK: Mosaic kernels compiled and ran, {n_active} active, "
           "physics matches the XLA step; offset-slab path max err "
-          f"{max_err:.1e}; empty-block skip bit-exact")
+          f"{max_err:.1e}; empty-block skip bit-exact; waypoint-plane "
+          f"skip bit-exact; kernel chain {best:.3f} ms/step "
+          f"(band {band_ms:.3f})")
     return 0
 
 

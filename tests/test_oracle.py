@@ -234,45 +234,108 @@ def test_grid_segment_obstacles_match_oracle(setup):
 # ---------------------------------------------------------------------------
 
 _GAP = pathlib.Path(__file__).parents[1] / "scenarios" / "gap.toml"
-_EVAC_N = 64
+_NARROW_GAP = pathlib.Path("/root/reference/scenarios/narrow-gap.toml")
 _EVAC_MAX = 600
 
+# A trimmed multi-waypoint once-scenario (evacuation.toml's class: several
+# band exits, nearest-exit assignment) small enough for the f64 oracle to
+# chew: 3 exit bands on the left edge, a central wall with passages above
+# and below, 48 agents starting on the right.  This also end-to-end
+# exercises the grid backend's per-block waypoint-plane skip (the gated
+# sampling path) against the independent referee.
+_MULTIWP = """
+[field]
+size = [30, 21]
+[[waypoints]]
+line = [[2, 1], [2, 7]]
+[[waypoints]]
+line = [[2, 7], [2, 14]]
+[[waypoints]]
+line = [[2, 14], [2, 20]]
+[[obstacles]]
+line = [[15, 4], [15, 17]]
+width = 2
+"""
 
-@pytest.fixture(scope="module")
-def evac_setup():
-    from pedoni_tpu.scenario import load_scenario
 
-    sc = load_scenario(_GAP)
-    field = Field.from_scenario(sc, unit=0.25)
-    maps = FieldMaps.from_field(field)
-    cfg = StepConfig.build(sc, capacity=CAP, neighbor_grid_unit=UNIT,
-                           table_capacity=12)
-    return sc, field, maps, cfg
-
-
-def _evac_initial(seed):
+def _init_gap(seed):
     """64 agents in the left chamber of gap.toml, heading to waypoint 1
     on the far side of the wall (same stream as the measured prototype)."""
     rng = np.random.default_rng(seed)
     pos = np.zeros((CAP, 2), np.float32)
     pos[:, 0] = rng.uniform(2.0, 10.0, CAP)
     pos[:, 1] = rng.uniform(2.0, 22.0, CAP)
+    dest = np.ones(CAP, np.int32)
+    return pos, dest, 64
+
+
+def _init_narrow_gap(seed):
+    """The reference's narrow-gap.toml (once, count 50): 50 agents left
+    of the 2 m wall whose only opening is the 3-cell gap at y 10..13,
+    bound for waypoint 1 at x = 12."""
+    rng = np.random.default_rng(seed)
+    pos = np.zeros((CAP, 2), np.float32)
+    pos[:, 0] = rng.uniform(1.5, 8.0, CAP)
+    pos[:, 1] = rng.uniform(2.0, 18.0, CAP)
+    dest = np.ones(CAP, np.int32)
+    return pos, dest, 50
+
+
+def _init_multiwp(seed):
+    """48 agents on the right half, each bound for its own y-band exit
+    (nearest-exit assignment, evacuation.toml semantics)."""
+    rng = np.random.default_rng(seed)
+    pos = np.zeros((CAP, 2), np.float32)
+    pos[:, 0] = rng.uniform(20.0, 28.0, CAP)
+    pos[:, 1] = rng.uniform(2.0, 19.0, CAP)
+    dest = np.minimum(pos[:, 1] // 7.0, 2).astype(np.int32)
+    return pos, dest, 48
+
+
+# geometry -> (scenario source, init fn, seeds, table_capacity).
+# gap keeps the 3 seeds measured on hardware 2026-08-19 (doc above);
+# the round-4 extensions run 5 seeds each (VERDICT round-3 ask #4 --
+# the reference's own harness ran 20 repeats, main.rs:58-77).
+_EVAC_GEOMS = {
+    "gap": (("file", _GAP), _init_gap, (1, 2, 3), 12),
+    "narrow_gap": (("file", _NARROW_GAP), _init_narrow_gap,
+                   (1, 2, 3, 4, 5), 12),
+    "multiwp": (("inline", _MULTIWP), _init_multiwp, (1, 2, 3, 4, 5), 12),
+}
+
+
+@pytest.fixture(scope="module", params=sorted(_EVAC_GEOMS))
+def evac_setup(request):
+    from pedoni_tpu.scenario import load_scenario
+
+    geom = request.param
+    (kind, src), init, seeds, table = _EVAC_GEOMS[geom]
+    sc = load_scenario(src) if kind == "file" else loads_scenario(src)
+    field = Field.from_scenario(sc, unit=0.25)
+    maps = FieldMaps.from_field(field)
+    cfg = StepConfig.build(sc, capacity=CAP, neighbor_grid_unit=UNIT,
+                           table_capacity=table)
+    return geom, sc, field, maps, cfg, init, seeds
+
+
+def _evac_initial(init, seed):
+    pos, dest, n = init(seed)
     vel = np.zeros((CAP, 2), np.float32)
     speed = (1.0 + 0.002 * np.arange(CAP)).astype(np.float32)
-    dest = np.ones(CAP, np.int32)
-    active = np.arange(CAP) < _EVAC_N
+    active = np.arange(CAP) < n
     return pos, vel, speed, dest, active
 
 
 _ORACLE_EVAC_CACHE: dict = {}
 
 
-def _oracle_evac_steps(sc, field, seed):
-    # Cached per seed: the xla and grid parametrizations share one oracle
-    # run (600 pure-Python f64 steps each would otherwise run twice).
-    if seed in _ORACLE_EVAC_CACHE:
-        return _ORACLE_EVAC_CACHE[seed]
-    pos, vel, speed, dest, active = _evac_initial(seed)
+def _oracle_evac_steps(geom, sc, field, init, seed):
+    # Cached per (geometry, seed): the xla and grid parametrizations
+    # share one oracle run (600 pure-Python f64 steps each otherwise).
+    key = (geom, seed)
+    if key in _ORACLE_EVAC_CACHE:
+        return _ORACLE_EVAC_CACHE[key]
+    pos, vel, speed, dest, active = _evac_initial(init, seed)
     p, v, a = pos, vel, active.copy()
     steps = _EVAC_MAX + 1
     for i in range(1, _EVAC_MAX + 1):
@@ -281,17 +344,17 @@ def _oracle_evac_steps(sc, field, seed):
         if not a.any():
             steps = i
             break
-    _ORACLE_EVAC_CACHE[seed] = steps
+    _ORACLE_EVAC_CACHE[key] = steps
     return steps
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize("backend", ["xla", "grid"])
 def test_evacuation_step_count_matches_oracle(evac_setup, backend):
-    sc, field, maps, cfg = evac_setup
-    for seed in (1, 2, 3):
-        o_steps = _oracle_evac_steps(sc, field, seed)
-        pos, vel, speed, dest, active = _evac_initial(seed)
+    geom, sc, field, maps, cfg, init, seeds = evac_setup
+    for seed in seeds:
+        o_steps = _oracle_evac_steps(geom, sc, field, init, seed)
+        pos, vel, speed, dest, active = _evac_initial(init, seed)
         agents = AgentState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
                             speed=jnp.asarray(speed), dest=jnp.asarray(dest),
                             active=jnp.asarray(active))
@@ -321,11 +384,11 @@ def test_evacuation_step_count_matches_oracle(evac_setup, backend):
                     break
             # A cell-table overflow near the gap queue would make the
             # evacuation "complete" early while masking a capacity bug.
-            assert lost == 0, f"grid seed {seed}: {lost} agents lost"
+            assert lost == 0, f"grid {geom} seed {seed}: {lost} agents lost"
         assert o_steps <= _EVAC_MAX and b_steps <= _EVAC_MAX, (
-            f"evacuation did not complete: oracle {o_steps}, "
+            f"{geom} evacuation did not complete: oracle {o_steps}, "
             f"{backend} {b_steps}")
         assert abs(b_steps - o_steps) <= max(3, round(0.05 * o_steps)), (
-            f"{backend} seed {seed}: evacuated in {b_steps} steps, oracle "
-            f"{o_steps} — outside the 5% parity band (measured max "
-            f"deviation 3 steps on hardware)")
+            f"{backend} {geom} seed {seed}: evacuated in {b_steps} steps, "
+            f"oracle {o_steps} — outside the 5% parity band (gap.toml "
+            f"measured max deviation 3 steps on hardware)")

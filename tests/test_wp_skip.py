@@ -1,0 +1,153 @@
+"""Per-block waypoint-plane skip (round-4 VERDICT ask #2).
+
+The reference samples exactly one potential map per agent (sfm.rs:107,
+field.rs:235-239) — O(1) in waypoint count; the fused kernel samples
+every plane per block and selects.  ``waypoint_block_mask`` + the
+kernel's gated plane DMA/sampling restore the asymptotics at block
+granularity.  Gating must be a pure optimization: active slots of the
+gated kernel are BIT-identical to the ungated kernel (inactive slots may
+carry different channel-7 garbage — the ungated build samples planes for
+garbage positions, the gated one leaves zeros — and no consumer reads
+them: the rebin recomputes cells from positions and drops inactives).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pedoni_tpu.field import Field, FieldMaps
+from pedoni_tpu.ops.neighbor import CellGrid
+from pedoni_tpu.ops.pallas.fields6 import Fields6
+from pedoni_tpu.ops.pallas.step_kernel import (fused_step_kernel,
+                                               waypoint_block_mask)
+from pedoni_tpu.physics import Physics
+from pedoni_tpu.scenario import loads_scenario
+
+SCENARIO = """
+[field]
+size = [18, 12]
+[[waypoints]]
+line = [[2, 2], [2, 10]]
+[[waypoints]]
+line = [[16, 2], [16, 10]]
+[[waypoints]]
+line = [[2, 11], [16, 11]]
+[[obstacles]]
+line = [[9, 0], [9, 5]]
+width = 1
+"""
+
+
+def _numpy_mask(d, rb, n_wp):
+    """Reference semantics: bit p of block b iff any active agent in d
+    rows [b*rb, b*rb + rb + 2) has dest == p."""
+    ny2 = d.shape[0]
+    nb = (ny2 - 2) // rb
+    w = (n_wp + 30) // 31
+    out = np.zeros((nb, w), np.int32)
+    act = d[:, :, 6, :] > 0.5
+    dest = d[:, :, 5, :].astype(np.int64)
+    for b in range(nb):
+        win_a = act[b * rb : b * rb + rb + 2]
+        win_d = dest[b * rb : b * rb + rb + 2]
+        for p in np.unique(win_d[win_a]):
+            out[b, p // 31] |= 1 << (p % 31)
+    return out
+
+
+def test_waypoint_block_mask_matches_numpy():
+    rng = np.random.default_rng(7)
+    ny, k, nxl, rb, n_wp = 10, 4, 128, 2, 40  # 40 planes: 2 mask words
+    d = np.zeros((ny + 2, k, 8, nxl), np.float32)
+    d[:, :, 5, :] = rng.integers(0, n_wp, (ny + 2, k, nxl))
+    d[:, :, 6, :] = rng.random((ny + 2, k, nxl)) < 0.1
+    d[0] = d[-1] = 0.0  # ghost rows
+    got = np.asarray(waypoint_block_mask(jnp.asarray(d), rb, n_wp))
+    np.testing.assert_array_equal(got, _numpy_mask(d, rb, n_wp))
+    # single plane: statically disabled (the bench path is untouched)
+    assert waypoint_block_mask(jnp.asarray(d), rb, 1) is None
+
+
+def _small_grid_inputs(seed=0, n=160):
+    sc = loads_scenario(SCENARIO)
+    field = Field.from_scenario(sc, unit=0.25)
+    maps = FieldMaps.from_field(field)
+    grid = CellGrid.for_size(sc.size, 1.5)
+    k, rb = 8, 2
+    ny_pad = -(-grid.ny // rb) * rb
+    nxl = -(-(grid.nx + 3) // 128) * 128
+    rng = np.random.default_rng(seed)
+    d = np.zeros((ny_pad + 2, k, 8, nxl), np.float32)
+    # destination-clustered placement (left third -> wp 0, right -> 1,
+    # top band -> 2) so blocks genuinely want different plane subsets
+    for _ in range(n):
+        pos = rng.uniform(0.8, np.array(sc.size) - 0.8, 2).astype(np.float32)
+        dest = 2 if pos[1] > 8.0 else (0 if pos[0] < 9.0 else 1)
+        r = int(pos[1] // 1.5)
+        lane = int(pos[0] // 1.5) + 1
+        j = int(d[r + 1, 0, 7, lane])
+        if j >= k:
+            continue
+        d[r + 1, j, 0:2, lane] = pos
+        d[r + 1, j, 2:4, lane] = rng.normal(0, 0.4, 2)
+        d[r + 1, j, 4, lane] = max(0.3, rng.normal(1.34, 0.26))
+        d[r + 1, j, 5, lane] = dest
+        d[r + 1, j, 6, lane] = 1.0
+        d[r + 1, :, 7, lane] = j + 1
+    d[:, :, 7, :] = 0.0
+    f6 = Fields6.build(maps, grid.nx, ny_pad, lane_align=128)
+    return sc, d, f6, rb
+
+
+def test_gated_kernel_bit_identical_on_active_slots():
+    sc, d, f6, rb = _small_grid_inputs()
+    phys = Physics()
+    dk = jnp.asarray(d)
+    fwp = jnp.asarray(f6.wp)
+    fobs = jnp.asarray(f6.obs)
+    n_wp = fwp.shape[0]
+    assert n_wp == 3
+    wpm = waypoint_block_mask(dk, rb, n_wp)
+    assert np.asarray(wpm).max() < 8 and np.asarray(wpm).min() >= 0
+    # destination clustering must make the skip non-trivial: some block
+    # wants a strict subset of the planes
+    assert any(bin(int(x)).count("1") < n_wp
+               for x in np.asarray(wpm)[:, 0] if x)
+
+    base = np.asarray(fused_step_kernel(
+        dk, fwp, fobs, phys, sc.size, row_block=rb, interpret=True))
+    gated = np.asarray(fused_step_kernel(
+        dk, fwp, fobs, phys, sc.size, row_block=rb, interpret=True,
+        wp_mask=wpm))
+
+    act = base[:, :, 6, :] > 0.5
+    np.testing.assert_array_equal(gated[:, :, 6, :], base[:, :, 6, :])
+    for c in range(8):  # all channels incl. sampled potential (ch 7)
+        np.testing.assert_array_equal(gated[:, :, c, :][act],
+                                      base[:, :, c, :][act])
+    assert np.all(gated[0] == 0) and np.all(gated[-1] == 0)
+
+
+def test_gated_kernel_emit_movers_bit_identical():
+    """Gating composes with the incremental-rebin kernel mode: OUT active
+    slots and the whole mover table M match the ungated build."""
+    sc, d, f6, rb = _small_grid_inputs(seed=1)
+    phys = Physics()
+    dk = jnp.asarray(d)
+    fwp = jnp.asarray(f6.wp)
+    fobs = jnp.asarray(f6.obs)
+    wpm = waypoint_block_mask(dk, rb, fwp.shape[0])
+
+    b_out, b_m, b_movf, b_mdmx = fused_step_kernel(
+        dk, fwp, fobs, phys, sc.size, row_block=rb, interpret=True,
+        emit_movers=4)
+    g_out, g_m, g_movf, g_mdmx = fused_step_kernel(
+        dk, fwp, fobs, phys, sc.size, row_block=rb, interpret=True,
+        emit_movers=4, wp_mask=wpm)
+    act = np.asarray(b_out)[:, :, 6, :] > 0.5
+    for c in range(8):  # ch 7 = stay mask in this mode: active-slot exact
+        np.testing.assert_array_equal(
+            np.asarray(g_out)[:, :, c, :][act],
+            np.asarray(b_out)[:, :, c, :][act])
+    np.testing.assert_array_equal(np.asarray(g_m), np.asarray(b_m))
+    np.testing.assert_array_equal(np.asarray(g_movf), np.asarray(b_movf))
+    np.testing.assert_array_equal(np.asarray(g_mdmx), np.asarray(b_mdmx))
