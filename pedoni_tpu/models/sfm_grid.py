@@ -294,7 +294,7 @@ def make_kernel_chain(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
 
 def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
                    incremental: bool = True, mover_k: int = 8,
-                   compact_every: int = 4, wp_skip: bool = True):
+                   compact_every: int = 8, wp_skip: bool = True):
     """Build the grid-resident step:
     (GridState, fwp, fobs) -> (GridState, StepMetrics).
 
@@ -306,10 +306,13 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
     on-hardware alternating windows, round 4): never compacting LOSES
     0.916x — holes freeze the occupancy bound (jmax trace ~13.7 flat vs
     the compacting path's decay to ~9.7) and the pair pass is O(jmax) —
-    while the 1-full + 3-incremental hybrid WINS 1.086x (13.32 vs 14.46
-    ms/step at 1M): the periodic compaction keeps jmax decaying, the
-    incremental steps skip ~2/3 of the rebin's one-hot walk, and the
-    mover-pass emit costs only ~0.33 ms.  Hence compact_every=4 default.
+    while the hybrid WINS: periodic compaction keeps jmax decaying, the
+    incremental steps skip most of the rebin's one-hot walk, and the
+    mover-pass emit costs only ~0.33 ms.  The round-4 cadence sweep
+    (--cadence 4 6 8, alternating windows) measured full 13.57 /
+    hybrid4 12.53 / hybrid6 12.41 / hybrid8 12.37 ms/step at 1M —
+    flattening past 6 as the amortized full-rebin share vanishes.
+    Hence compact_every=8 default.
     Correctness guards, all in-graph (lax.cond, no host sync):
     the step falls back to the FULL compacting rebin when (a) any cell
     had more than mover_k movers this step (table overflow — no agent is

@@ -75,15 +75,18 @@ class SimulatorOptions:
     # Incremental (hole-preserving) rebin on the single-device grid
     # backend: ~90% of agents do not change cell per step, so the rebin
     # walks only the compacted mover table on non-compaction steps.
-    # compact_every=4 is the measured winner (1.086x at 1M: 13.32 vs
-    # 14.46 ms/step, scripts/ab_incremental_rebin.py round 4) — never
-    # compacting LOSES (holes freeze the occupancy bound the O(jmax)
-    # pair pass runs to; see make_step_grid's docstring).
+    # compact_every=8 is the measured winner of the round-4 cadence
+    # sweep (scripts/ab_incremental_rebin.py --cadence 4 6 8, 1M agents,
+    # alternating on-hardware windows: full 13.57 / hybrid4 12.53 /
+    # hybrid6 12.41 / hybrid8 12.37 ms/step — the curve flattens past 6
+    # as the amortized full-rebin share vanishes).  Never compacting
+    # LOSES (holes freeze the occupancy bound the O(jmax) pair pass
+    # runs to; see make_step_grid's docstring).
     # mover_capacity = mover-table slots per cell (grown preemptively
     # like table_capacity).
     incremental_rebin: bool = True
     mover_capacity: int = 8
-    compact_every: int = 4
+    compact_every: int = 8
     # Per-block waypoint-plane skip (multi-waypoint scenarios; statically
     # a no-op at one waypoint): plane DMA + sampling run only in blocks
     # whose window holds an agent bound for that plane.

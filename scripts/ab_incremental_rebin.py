@@ -31,6 +31,11 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=15)
     ap.add_argument("--windows", type=int, default=4)
     ap.add_argument("--mover-k", type=int, default=8)
+    ap.add_argument("--cadence", type=int, nargs="+", default=[4],
+                    help="compact_every values to time as hybrid arms "
+                         "(the occupancy bound only re-lowers on "
+                         "compaction steps; longer cadences amortize the "
+                         "full rebin further but ride a staler bound)")
     ap.add_argument("--decompose", action="store_true",
                     help="add a k1mv+full arm + jmax-drift traces + "
                          "mover-demand probe")
@@ -57,17 +62,21 @@ def main() -> int:
     chain_inc = jax.jit(sfm_grid.make_kernel_chain(
         cfg, maps, row_block=2, incremental=True, mover_k=args.mover_k))
 
-    def hybrid4(d, fwp, fobs):
-        # the compact_every=4 regime as one superstep: the compacting
-        # rebin re-lowers the occupancy bound, then three hole-preserving
-        # steps ride it — ms reported per SINGLE step (cycle / 4)
-        d = chain_full(d, fwp, fobs)
-        for _ in range(3):
-            d = chain_inc(d, fwp, fobs)
-        return d
+    def hybrid(n):
+        # the compact_every=n regime as one superstep: the compacting
+        # rebin re-lowers the occupancy bound, then n-1 hole-preserving
+        # steps ride it — ms reported per SINGLE step (cycle / n).
+        # No new compiles: reuses the two jitted chains.
+        def fn(d, fwp, fobs):
+            d = chain_full(d, fwp, fobs)
+            for _ in range(n - 1):
+                d = chain_inc(d, fwp, fobs)
+            return d
+        return fn
 
-    arms = [("full       ", chain_full, 1), ("incremental", chain_inc, 1),
-            ("hybrid4    ", hybrid4, 4)]
+    arms = [("full       ", chain_full, 1), ("incremental", chain_inc, 1)]
+    for n in args.cadence:
+        arms.append((f"hybrid{n:<4d}", hybrid(n), n))
 
     for name, fn, _m in arms:  # warm: compile + one chained run
         d = fn(state.d, fwp, fobs)
