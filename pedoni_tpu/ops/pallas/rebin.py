@@ -305,7 +305,16 @@ def _compute_inc(i, mmax, roff_ref, coff_ref, gwin, mwin, outbuf, ovf_ref,
              + (i * rb + roff_ref[0]).astype(jnp.float32))
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1).astype(jnp.float32)
 
-    st = gwin[:, :, 7, :]  # [rb, K, nxl] stay mask, 0/1 f32
+    # Stay mask, gated to OWNED lanes: under 2D tile sharding the ghost
+    # lanes of G hold the lane-neighbor's owned edge (exchanged in), and
+    # a neighbor's stayer must not be kept here too — the mover side is
+    # already owned-only via the lands mask, the stay side needs the
+    # same gate.  Single-chip this is a no-op (ghost lanes never hold
+    # agents) costing two compares + a multiply per block.
+    own = jnp.where(
+        (lane >= coff.astype(jnp.float32) + 1.0) & (lane <= nx_lim),
+        1.0, 0.0)
+    st = gwin[:, :, 7, :] * own  # [rb, K, nxl] stay mask, 0/1 f32
     outs = [gwin[:, :, c, :] * st for c in range(6)]
 
     # Exclusive prefix count of holes along the slot axis (unrolled —

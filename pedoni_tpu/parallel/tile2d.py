@@ -54,8 +54,8 @@ from ..models.sfm_grid import (
 )
 from ..models.sfm_pallas import debug_segments, stride_for, supports
 from ..ops.pallas.fields6 import ROW0, Fields6
-from ..ops.pallas.rebin import rebin_kernel
-from ..ops.pallas.step_kernel import fused_step_kernel
+from ..ops.pallas.rebin import rebin_incremental, rebin_kernel
+from ..ops.pallas.step_kernel import fused_step_kernel, waypoint_block_mask
 
 ROW_AXIS = "row"
 COL_AXIS = "col"
@@ -195,9 +195,23 @@ def unbin_sharded(tcfg: Tile2DConfig, gs: GridState) -> SimState:
     return unbin_state(cfg, GridState(d=padded, key=gs.key, step=gs.step))
 
 
-def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh):
+def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh,
+                      incremental: bool = True, mover_k: int = 8,
+                      compact_every: int = 8, wp_skip: bool = True):
     """Build the tiled step:
-    (GridState, wp_slabs, obs_slabs) -> (GridState, StepMetrics)."""
+    (GridState, wp_slabs, obs_slabs) -> (GridState, StepMetrics).
+
+    ``incremental``/``mover_k``/``compact_every``/``wp_skip`` mirror
+    make_step_grid (same measured defaults): the hybrid hole-preserving
+    rebin and the per-block waypoint-plane skip run per TILE.  The mover
+    table M gets the same cols-then-rows double ghost exchange as G
+    (boundary-crossing movers ride M's ghost rows/lanes exactly like the
+    full rebin picks them out of G's); the incremental rebin's stay side
+    is owned-lane gated (ops/pallas/rebin._compute_inc) so an exchanged
+    neighbor's stayers are never kept twice.  The full-rebin fallback
+    cond is PER-DEVICE (local mover-table overflow or spawn pressure
+    triggers it locally; the compaction cadence is step-synchronized) —
+    rebin form is local bookkeeping, so tiles may legally diverge."""
     cfg = tcfg.base
     phys = cfg.physics
     grid = cfg.grid
@@ -208,6 +222,7 @@ def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh):
     R, C = tcfg.rows, tcfg.cols
     interpret = jax.default_backend() != "tpu"
     s = cfg.spawn.total
+    mk = min(mover_k, k)
 
     down_perm = [(i, i + 1) for i in range(R - 1)]
     up_perm = [(i, i - 1) for i in range(1, R)]
@@ -245,7 +260,7 @@ def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh):
     def _jmax(d_pad):
         return occupancy_bound(d_pad, rb, nb, k)
 
-    def step_local(d_loc, k_spawn, wp_slab, obs_slab):
+    def step_local(d_loc, k_spawn, step_idx, wp_slab, obs_slab):
         # d_loc [rl+2, K, 8, NXL_loc] ghost-carrying; slabs carry leading
         # axes of (1, 1).
         wp_slab = wp_slab[0, 0]
@@ -265,46 +280,94 @@ def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh):
             n_spawn_drop = jnp.int32(0)
 
         jmax = _jmax(d_pad)
-        g = fused_step_kernel(
-            d_pad, wp_slab, obs_slab, phys, cfg.scenario.size,
-            row_block=rb, interpret=interpret, jmax=jmax,
-            row_offset=row_lo[None], col_offset=col_lo[None],
-            stride=stride_for(cfg), field_unit=cfg.field_unit,
-            segments=debug_segments(cfg),
-        )
+        # The wanted-plane mask reads the EXCHANGED slab (ghost rows and
+        # lanes hold neighbor agents whose planes this tile's kernel
+        # windows sample too).
+        wpm = (waypoint_block_mask(d_pad, rb, wp_slab.shape[0])
+               if wp_skip else None)
+        max_mover_demand = jnp.int32(0)
+        if incremental:
+            g, m, movf, mdmx = fused_step_kernel(
+                d_pad, wp_slab, obs_slab, phys, cfg.scenario.size,
+                row_block=rb, interpret=interpret, jmax=jmax,
+                row_offset=row_lo[None], col_offset=col_lo[None],
+                stride=stride_for(cfg), field_unit=cfg.field_unit,
+                segments=debug_segments(cfg), emit_movers=mk,
+                wp_mask=wpm,
+            )
+        else:
+            g = fused_step_kernel(
+                d_pad, wp_slab, obs_slab, phys, cfg.scenario.size,
+                row_block=rb, interpret=interpret, jmax=jmax,
+                row_offset=row_lo[None], col_offset=col_lo[None],
+                stride=stride_for(cfg), field_unit=cfg.field_unit,
+                segments=debug_segments(cfg), wp_mask=wpm,
+            )
         # Ghost-lane outputs are computed from incomplete windows and
         # discarded: active counts read owned lanes only, and the column
         # exchange below replaces them with the neighbor's owned values.
         n_active = jnp.sum(g[:, :, 6, 1 : cl + 1]).astype(jnp.int32)
 
         gp = exchange(g)
-        d2, ovf, dmx = rebin_kernel(
-            gp, grid.unit, grid.nx, grid.ny, row_block=rb,
-            interpret=interpret, jmax=jmax, row_offset=row_lo[None],
-            col_offset=col_lo[None], nx_local=cl,
-        )
+        if incremental:
+            # Movers ride M's ghosts exactly like G's: same double
+            # exchange, same cols-then-rows corner carry.  Ghost-lane
+            # entries of M (pre-exchange garbage from incomplete
+            # windows) are REPLACED by the neighbor's owned edge here;
+            # movf/mdmx may count that garbage, which can only trigger
+            # a conservative full-rebin fallback / mover growth, never
+            # a wrong result.
+            mp = exchange(m)
+            mmax = occupancy_bound(mp, rb, nb, mk)
+            need_full = (jnp.sum(movf) > 0.0) | (
+                jax.lax.rem(step_idx, jnp.int32(compact_every)) == 0)
+            if s > 0:
+                need_full = need_full | (
+                    jnp.max(d_pad[:, 0, 7, :]) >= float(k - 1))
+            d2, ovf, dmx = jax.lax.cond(
+                need_full,
+                lambda g_, m_: rebin_kernel(
+                    g_, grid.unit, grid.nx, grid.ny, row_block=rb,
+                    interpret=interpret, jmax=jmax,
+                    row_offset=row_lo[None], col_offset=col_lo[None],
+                    nx_local=cl),
+                lambda g_, m_: rebin_incremental(
+                    g_, m_, grid.unit, grid.nx, grid.ny, row_block=rb,
+                    interpret=interpret, jmax=jmax, mmax=mmax,
+                    row_offset=row_lo[None], col_offset=col_lo[None],
+                    nx_local=cl),
+                gp, mp)
+            max_mover_demand = jnp.max(mdmx).astype(jnp.int32)
+        else:
+            d2, ovf, dmx = rebin_kernel(
+                gp, grid.unit, grid.nx, grid.ny, row_block=rb,
+                interpret=interpret, jmax=jmax, row_offset=row_lo[None],
+                col_offset=col_lo[None], nx_local=cl,
+            )
         n_overflow = jnp.sum(ovf).astype(jnp.int32)
         n_after = jnp.sum(d2[:, :, 6, :]).astype(jnp.int32)
 
         def allsum(v):
             return jax.lax.psum(jax.lax.psum(v, ROW_AXIS), COL_AXIS)
 
+        def allmax(v):
+            return jax.lax.pmax(jax.lax.pmax(v, ROW_AXIS), COL_AXIS)
+
         metrics = StepMetrics(
             n_active=allsum(n_active),
             n_spawned=allsum(n_spawned),
             n_dropped=allsum(n_spawn_drop),
             n_overflow=allsum(n_overflow),
-            max_demand=jax.lax.pmax(
-                jax.lax.pmax(jnp.max(dmx), ROW_AXIS), COL_AXIS
-            ).astype(jnp.int32),
+            max_demand=allmax(jnp.max(dmx)).astype(jnp.int32),
             n_exited=allsum((n_active - n_after) - n_overflow),
+            max_mover_demand=allmax(max_mover_demand),
         )
         return d2, metrics
 
     sharded = jax.shard_map(
         step_local,
         mesh=mesh,
-        in_specs=(P(ROW_AXIS, None, None, COL_AXIS), P(),
+        in_specs=(P(ROW_AXIS, None, None, COL_AXIS), P(), P(),
                   P(ROW_AXIS, COL_AXIS), P(ROW_AXIS, COL_AXIS)),
         out_specs=(P(ROW_AXIS, None, None, COL_AXIS), P()),
         check_vma=False,
@@ -312,7 +375,8 @@ def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh):
 
     def step(state: GridState, wp_slabs, obs_slabs):
         key, k_spawn = jax.random.split(state.key)
-        d, metrics = sharded(state.d, k_spawn, wp_slabs, obs_slabs)
+        d, metrics = sharded(state.d, k_spawn, state.step, wp_slabs,
+                             obs_slabs)
         return GridState(d=d, key=key, step=state.step + 1), metrics
 
     return step

@@ -220,7 +220,12 @@ class Simulator:
                     tile2d.device_inputs_on_mesh(
                         self._tcfg, self._mesh, self.maps)
                 self._step = jax.jit(
-                    tile2d.make_sharded_step(self._tcfg, self._mesh))
+                    tile2d.make_sharded_step(
+                        self._tcfg, self._mesh,
+                        incremental=o.incremental_rebin,
+                        mover_k=o.mover_capacity,
+                        compact_every=o.compact_every,
+                        wp_skip=o.wp_skip))
             else:
                 self._mesh = None
                 fwp, fobs = sfm_pallas.pallas_device_inputs(

@@ -68,9 +68,9 @@ def _active_set(agents):
     return rows[np.lexsort((rows[:, 1], rows[:, 0]))]
 
 
-def _run_single(maps, cfg, state0, n_steps):
+def _run_single(maps, cfg, state0, n_steps, **step_kw):
     fwp, fobs = map(jnp.asarray, sfm_pallas.pallas_device_inputs(cfg, maps))
-    step = jax.jit(sfm_grid.make_step_grid(cfg, maps))
+    step = jax.jit(sfm_grid.make_step_grid(cfg, maps, **step_kw))
     sg = sfm_grid.bin_state(cfg, state0)
     for _ in range(n_steps):
         sg, m = step(sg, fwp, fobs)
@@ -78,12 +78,12 @@ def _run_single(maps, cfg, state0, n_steps):
     return sfm_grid.unbin_state(cfg, sg), m
 
 
-def _run_tiled(maps, cfg, state0, n_steps, rows, cols):
+def _run_tiled(maps, cfg, state0, n_steps, rows, cols, **step_kw):
     tcfg = tile2d.Tile2DConfig.build(cfg, rows, cols)
     mesh = tile2d.make_mesh(tcfg)
     wp, obs = tile2d.device_inputs_on_mesh(tcfg, mesh, maps)
     gs = tile2d.make_sharded_grid_state(tcfg, mesh, state0)
-    step = jax.jit(tile2d.make_sharded_step(tcfg, mesh))
+    step = jax.jit(tile2d.make_sharded_step(tcfg, mesh, **step_kw))
     for _ in range(n_steps):
         gs, m = step(gs, wp, obs)
         jax.block_until_ready(gs)  # lockstep: 1-core CPU collective safety
@@ -112,6 +112,25 @@ def test_tiled_equals_single_chip(rows, cols):
     a, b = _active_set(want.agents), _active_set(got.agents)
     assert a.shape == b.shape
     # Same FMA-contraction tolerance story as test_grid_shard.py.
+    np.testing.assert_allclose(b, a, rtol=1e-3, atol=2e-2)
+
+
+def test_tiled_incremental_equals_single_chip():
+    """The hybrid incremental rebin on the TILED path (kernel 1 emits
+    the mover table, M rides the same double ghost exchange as G, the
+    stay side is owned-lane gated): pure-incremental steps (cadence
+    pushed past the horizon so only step 0 compacts) must reproduce the
+    single-chip step under the SAME cadence, including agents crossing
+    tile boundaries through M's ghosts."""
+    maps, cfg, state0 = _setup()
+    want, m1 = _run_single(maps, cfg, state0, n_steps=4,
+                           compact_every=1000)
+    got, mn = _run_tiled(maps, cfg, state0, n_steps=4, rows=1, cols=2,
+                         compact_every=1000)
+    assert int(mn.n_active) == int(m1.n_active)
+    assert int(mn.n_spawned) == int(m1.n_spawned)
+    a, b = _active_set(want.agents), _active_set(got.agents)
+    assert a.shape == b.shape
     np.testing.assert_allclose(b, a, rtol=1e-3, atol=2e-2)
 
 
@@ -145,6 +164,41 @@ def test_migration_across_columns():
     gpos = np.asarray(got.agents.pos)[gact]
     assert gpos.shape[0] == 4
     assert (gpos[:, 0] > 9.0).all()  # all four crossed into the right tile
+    assert int(m.n_dropped) == 0
+    assert int(m.n_overflow) == 0
+
+
+def test_migration_across_columns_incremental():
+    """Same boundary crossing, forced onto the INCREMENTAL mover path:
+    step 0 compacts (cadence), so the +x walkers (started a full step
+    short of the boundary) cross the column boundary on step 1 — a
+    hole-preserving step — and must arrive through M's exchanged ghost
+    lane with no loss."""
+    sc = loads_scenario(SCENARIO_NOSPAWN)
+    field = Field.from_scenario(sc, unit=0.25)
+    maps = FieldMaps.from_field(field)
+    cfg = StepConfig.build(sc, capacity=64, neighbor_grid_unit=1.5,
+                           table_capacity=6)
+    pos = np.zeros((64, 2), np.float32)
+    vel = np.zeros((64, 2), np.float32)
+    for i, y in enumerate((6.5, 7.5, 9.5, 10.5)):
+        pos[i] = (8.80, y)              # stays left of 9.0 on step 0
+        vel[i] = (1.0, 0.0)
+    agents = AgentState(
+        pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+        speed=jnp.full((64,), 1.34, jnp.float32),
+        dest=jnp.ones((64,), jnp.int32),
+        active=jnp.asarray(np.arange(64) < 4),
+    )
+    state0 = SimState(agents=agents, key=jax.random.PRNGKey(0),
+                      step=jnp.int32(0))
+    got, m = _run_tiled(maps, cfg, state0, n_steps=2, rows=1, cols=2,
+                        compact_every=1000)
+    assert int(m.n_active) == 4
+    gact = np.asarray(got.agents.active)
+    gpos = np.asarray(got.agents.pos)[gact]
+    assert gpos.shape[0] == 4
+    assert (gpos[:, 0] > 9.0).all()
     assert int(m.n_dropped) == 0
     assert int(m.n_overflow) == 0
 
