@@ -186,7 +186,11 @@ def main() -> int:
     ap.add_argument("--agents", type=int, default=1_000_000)
     ap.add_argument("--density", type=float, default=2.5, help="agents per m^2")
     ap.add_argument("--steps", type=int, default=80)
-    ap.add_argument("--warmup", type=int, default=3)
+    # 16 warmup steps (~0.25 s at 1M): the per-block occupancy bound the
+    # pair pass runs to DECAYS over the first ~15 steps (measured 13.9 ->
+    # 9.7, PLAN.md round-4 decomposition A/B) — warming past the settling
+    # window means the FIRST timing window already measures steady state.
+    ap.add_argument("--warmup", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backend", default="grid",
                     choices=["grid", "pallas", "xla"],

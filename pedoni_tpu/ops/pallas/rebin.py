@@ -186,10 +186,18 @@ def _compute(i, jmax, roff_ref, coff_ref, window, outbuf, ovf_ref, dmx_ref,
             )
             for dxo in (-1, 0, 1):
                 sh = [_shift_lane(c, dxo) for c in ch[:6]]
-                lands = jnp.where(
-                    _shift_lane(tgt_lane, dxo) == lane,
-                    _shift_lane(lands_row, dxo), 0.0,
-                )
+                # Landing test in SOURCE-lane space (one shift of the
+                # result mask instead of two of the operands):
+                # _shift_lane(x, d)[l] == x[l + d], so the old form
+                # tests tgt_lane[l + dxo] == lane[l]; at source lane
+                # s = l + dxo that is tgt_lane[s] == lane[s] - dxo.
+                # The circular wrap differs only on agents displaced a
+                # full domain width — geometrically impossible (movement
+                # < 1 cell, assert_movement_fits_rebin); both forms
+                # reject them.
+                lands = _shift_lane(
+                    jnp.where(tgt_lane == lane - float(dxo), lands_row,
+                              0.0), dxo)
                 onehot = jnp.where(k_iota == cnt, lands, 0.0)
                 outs = [o + onehot * s for o, s in zip(outs, sh)]
                 cnt = cnt + lands
@@ -292,7 +300,7 @@ def _compute_inc(i, mmax, roff_ref, coff_ref, gwin, mwin, outbuf, ovf_ref,
     (active AND target cell == own cell) — stayers are copied through in
     their existing slots (6 masked copies instead of 9*jmax one-hot MACs).
     Mover side: walk the 9*mmax candidates of the mover-table window and
-    place each lander at its cell's (mcnt+1)-th hole via the precomputed
+    place the n-th lander at its cell's rank-n hole via the precomputed
     exclusive hole-rank hr (occupied slots poisoned to -1, so one wide
     compare per candidate finds the slot; no per-candidate cumsum)."""
     nxl = gwin.shape[-1]
@@ -330,11 +338,17 @@ def _compute_inc(i, mmax, roff_ref, coff_ref, gwin, mwin, outbuf, ovf_ref,
     hr = jnp.concatenate(hr_slices, axis=1)  # [rb, K, nxl]
     hrp = jnp.where(st > 0.5, -1.0, hr)
 
-    mcnt = jnp.zeros((rb, 1, nxl), jnp.float32)  # movers placed
+    # One accumulator: mdem counts LANDERS per cell.  The next lander's
+    # hole rank is mdem itself, and a full cell can never match — free
+    # slots carry ranks 0..free_total-1, so once mdem >= free_total the
+    # one-hot is empty and every later lander drops naturally.  (The
+    # explicit "placed" guard this replaces was redundant: placed and
+    # landed counts coincide up to the first drop, after which the cell
+    # stays full for the rest of the step.)
     mdem = jnp.zeros((rb, 1, nxl), jnp.float32)  # movers landing (demand)
 
     def body(j, carry):
-        mcnt, mdem, *outs = carry
+        mdem, *outs = carry
         for dy in (-1, 0, 1):
             ch = [mwin[1 + dy : 1 + dy + rb, pl.ds(j, 1), c, :]
                   for c in range(7)]
@@ -352,20 +366,21 @@ def _compute_inc(i, mmax, roff_ref, coff_ref, gwin, mwin, outbuf, ovf_ref,
             )
             for dxo in (-1, 0, 1):
                 sh = [_shift_lane(c, dxo) for c in ch[:6]]
-                lands = jnp.where(
-                    _shift_lane(tgt_lane, dxo) == lane,
-                    _shift_lane(lands_row, dxo), 0.0,
-                )
-                placed = lands * jnp.where(mcnt < free_total, 1.0, 0.0)
-                onehot = jnp.where(hrp == mcnt, placed, 0.0)
+                # Source-space landing test, one shift (see _compute).
+                lands = _shift_lane(
+                    jnp.where(tgt_lane == lane - float(dxo), lands_row,
+                              0.0), dxo)
+                onehot = jnp.where(hrp == mdem, lands, 0.0)
                 outs = [o + onehot * s_ for o, s_ in zip(outs, sh)]
-                mcnt = mcnt + placed
                 mdem = mdem + lands
-        return (mcnt, mdem, *outs)
+        return (mdem, *outs)
 
-    mcnt, mdem, *outs = jax.lax.fori_loop(0, mmax, body, (mcnt, mdem, *outs))
+    mdem, *outs = jax.lax.fori_loop(0, mmax, body, (mdem, *outs))
 
-    act_out = st + jnp.where((hrp >= 0.0) & (hrp < mcnt), 1.0, 0.0)
+    # Filled holes are exactly the free slots with rank < placed count
+    # = min(mdem, free_total); since every rank is < free_total, the
+    # comparison against mdem marks the same set.
+    act_out = st + jnp.where((hrp >= 0.0) & (hrp < mdem), 1.0, 0.0)
     for c in range(6):
         outbuf[:, :, c, :] = outs[c]
     outbuf[:, :, 6, :] = act_out
@@ -374,7 +389,7 @@ def _compute_inc(i, mmax, roff_ref, coff_ref, gwin, mwin, outbuf, ovf_ref,
     # cursor (spawns append ABOVE the holes; periodic compaction reclaims)
     topcnt = jnp.max((k_iota + 1.0) * act_out, axis=1, keepdims=True)
     outbuf[:, :, 7, :] = jnp.broadcast_to(topcnt, (rb, k, nxl))
-    ovf_ref[i] = jnp.sum(mdem - mcnt)
+    ovf_ref[i] = jnp.sum(jnp.maximum(mdem - free_total, 0.0))
     dmx_ref[i] = jnp.max((jnp.float32(k) - free_total) + mdem)
 
 

@@ -160,9 +160,10 @@ def _segment_accel(posx, posy, segments, phys: Physics):
 
 
 def _kernel(jmax_ref, roff_ref, coff_ref, *rest, rb: int, k: int, mk: int,
-            wp_skip: bool, n_wp: int, phys: Physics, grid_w: float,
-            grid_h: float, stride: int = STRIDE, inv_unit: float = 4.0,
-            cell_unit: float = 1.5, segments: tuple | None = None):
+            wp_skip: bool, n_wp: int, ring: int, phys: Physics,
+            grid_w: float, grid_h: float, stride: int = STRIDE,
+            inv_unit: float = 4.0, cell_unit: float = 1.5,
+            segments: tuple | None = None):
     """One kernel, three statically-selected modes:
 
     mk == 0, wp_skip False   the round-3 fused step (OUT alone)
@@ -175,7 +176,16 @@ def _kernel(jmax_ref, roff_ref, coff_ref, *rest, rb: int, k: int, mk: int,
                              reference's O(1) maps-per-agent property
                              (sfm.rs:107, field.rs:235-239) recovered
                              per block instead of per agent.
-    """
+
+    ``ring`` (= n_wp without wp_skip) bounds the plane slab VMEM: plane
+    p lives in ring slot p % ring, so the footprint is O(min(n_wp,
+    ring)) instead of O(n_wp) — the reference keeps all potential maps
+    in host RAM at O(1) working set (field.rs:235-239); the ring is the
+    VMEM analog.  Slot reuse is safe by PROGRAM ORDER: the DMA for
+    plane p starts textually after plane p-ring's sampling, and every
+    earlier plane sharing slot p%ring sampled even earlier.  Blocks
+    wanting <= ring planes behave exactly as the unbounded build
+    (DMAs all prefetched); only denser blocks serialize extra planes."""
     idx = 0
     want_ref = None
     if wp_skip:
@@ -247,8 +257,8 @@ def _kernel(jmax_ref, roff_ref, coff_ref, *rest, rb: int, k: int, mk: int,
         flen = fwp2.shape[2]
         fstart = j * (stride * rb) + ROW0
         return pltpu.make_async_copy(
-            fwp_hbm.at[p, pl.ds(fstart, flen)], fwp2.at[s, p],
-            wsems.at[s, p])
+            fwp_hbm.at[p, pl.ds(fstart, flen)], fwp2.at[s, p % ring],
+            wsems.at[s, p % ring])
 
     def _plane_bit(jc, p):
         # jc must be a CLAMPED block index (like the jmax_ref[nxt] read):
@@ -260,11 +270,16 @@ def _kernel(jmax_ref, roff_ref, coff_ref, *rest, rb: int, k: int, mk: int,
         def _base():
             for c in _base_copies(j, s):
                 getattr(c, op)()
-        if wp_skip:
-            for p in range(n_wp):
+        # Plane STARTS for the first ring's worth of plane indices only;
+        # planes >= ring start inside the sampling loop (after the slot's
+        # previous tenant finished) and every plane's WAIT sits at its
+        # sampling site (_compute), under the same want-bit condition —
+        # semaphores stay balanced start-to-wait.
+        if wp_skip and op == "start":
+            for p in range(ring):
                 @pl.when(cond & _plane_bit(jc, p))
                 def _plane(p=p):
-                    getattr(_plane_copy(j, s, p), op)()
+                    _plane_copy(j, s, p).start()
 
     zero = jnp.int32(0)
     _move_inputs((i == 0) & (jmax > 0), zero, zero, 0, "start")
@@ -286,12 +301,17 @@ def _kernel(jmax_ref, roff_ref, coff_ref, *rest, rb: int, k: int, mk: int,
 
     @pl.when(jmax > 0)
     def _compute_block():
+        wp_gate = None
+        if wp_skip:
+            wp_gate = (want_ref, *wp_scr,
+                       lambda p: _plane_copy(i, slot, p).wait(),
+                       lambda p: _plane_copy(i, slot, p).start())
         _compute(i, jmax, roff_ref, coff_ref, window2.at[slot],
                  fwp2.at[slot], fobs2.at[slot], act_scr, outbuf, rb=rb,
-                 k=k, n_wp=n_wp, phys=phys, grid_w=grid_w, grid_h=grid_h,
-                 stride=stride, inv_unit=inv_unit, segments=segments,
-                 cell_unit=cell_unit if mk else None,
-                 wp_gate=(want_ref, *wp_scr) if wp_skip else None)
+                 k=k, n_wp=n_wp, ring=ring, phys=phys, grid_w=grid_w,
+                 grid_h=grid_h, stride=stride, inv_unit=inv_unit,
+                 segments=segments, cell_unit=cell_unit if mk else None,
+                 wp_gate=wp_gate)
         if mk:
             _mover_pass(i, jmax, act_scr, outbuf, mbuf, movf_ref,
                         mdmx_ref, rb=rb, mk=mk)
@@ -331,7 +351,7 @@ def _compute(i, jmax, roff_ref, coff_ref, window, fwp, fobs, act_scr,
              outbuf, *, rb: int, k: int, n_wp: int, phys: Physics,
              grid_w: float, grid_h: float, stride: int, inv_unit: float,
              segments: tuple | None, cell_unit: float | None = None,
-             wp_gate: tuple | None = None):
+             wp_gate: tuple | None = None, ring: int = 0):
     """The occupied-block body: sanitize, sample, forces, integrate,
     fill ``outbuf`` with the post-step center rows.  (``i``/``jmax`` =
     pl.program_id(0) and this block's occupancy bound, passed in: calling
@@ -383,15 +403,23 @@ def _compute(i, jmax, roff_ref, coff_ref, window, fwp, fobs, act_scr,
         # sampled plane-row, and only for planes actually present.
         # Accumulation via where(sel, v, acc) is exact: each agent has
         # ONE dest, so exactly one plane writes each lane.
-        want_ref, pot_scr, gx_scr, gy_scr = wp_gate
+        want_ref, pot_scr, gx_scr, gy_scr, wait_plane, start_plane = wp_gate
         for w in range(rb + 2):
             pot_scr[w] = jnp.zeros_like(pot_scr[w])
             if 1 <= w <= rb:
                 gx_scr[w - 1] = jnp.zeros_like(gx_scr[w - 1])
                 gy_scr[w - 1] = jnp.zeros_like(gy_scr[w - 1])
+
+        def _bit(p):
+            return ((want_ref[i, p // 31] >> (p % 31)) & 1) > 0
+
         for plane in range(n_wp):
-            @pl.when(((want_ref[i, plane // 31] >> (plane % 31)) & 1) > 0)
+            @pl.when(_bit(plane))
             def _sample_plane(plane=plane):
+                # Wait the plane's slab here (its start is either the
+                # block-entry prefetch for plane < ring, or the
+                # _start_next of plane - ring below).
+                wait_plane(plane)
                 for w in range(rb + 2):
                     is_center = 1 <= w <= rb
                     posx = window[w, :, 0, :]
@@ -408,16 +436,26 @@ def _compute(i, jmax, roff_ref, coff_ref, window, fwp, fobs, act_scr,
                     base_row = stride * w
                     sel = dest == plane
                     if is_center:
-                        v0, v1, v2 = _sample_row(fwp.at[plane], base_row,
-                                                 q0, p0, tx, ty,
+                        v0, v1, v2 = _sample_row(fwp.at[plane % ring],
+                                                 base_row, q0, p0, tx, ty,
                                                  stride=stride)
                         gx_scr[w - 1] = jnp.where(sel, v1, gx_scr[w - 1])
                         gy_scr[w - 1] = jnp.where(sel, v2, gy_scr[w - 1])
                     else:
-                        (v0,) = _sample_row(fwp.at[plane], base_row, q0,
-                                            p0, tx, ty, channels=(0,),
+                        (v0,) = _sample_row(fwp.at[plane % ring], base_row,
+                                            q0, p0, tx, ty, channels=(0,),
                                             stride=stride)
                     pot_scr[w] = jnp.where(sel, v0, pot_scr[w])
+
+            # Ring slot plane % ring is now free to receive its next
+            # tenant: start plane + ring's DMA (if that plane is wanted).
+            # Program order guarantees every earlier plane sharing the
+            # slot has finished sampling, whether or not THIS plane was
+            # wanted — the start sits textually after its sampling site.
+            if plane + ring < n_wp:
+                @pl.when(_bit(plane + ring))
+                def _start_next(p2=plane + ring):
+                    start_plane(p2)
 
     exs, eys, acts, accfx, accfy, pots = [], [], [], [], [], []
     for w in range(rb + 2):
@@ -638,7 +676,8 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
                       field_unit: float = 0.25,
                       segments: tuple | None = None,
                       emit_movers: int = 0,
-                      wp_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+                      wp_mask: jnp.ndarray | None = None,
+                      wp_ring: int = 4) -> jnp.ndarray:
     """Run the fused sample+forces+integrate kernel.
 
     d    [ny_pad+2, K, 8, NXL]  (NXL % 128 == 0, ny_pad % row_block == 0)
@@ -670,6 +709,12 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
     (each plane's slab DMA + sampling pass runs only for blocks whose
     window holds an agent bound for it).  None or n_wp == 1 leaves the
     kernel byte-identical to the ungated build.
+    wp_ring: plane slab ring size under wp_skip — VMEM holds at most
+    min(n_wp, wp_ring) plane slabs per buffer (plane p in slot
+    p % wp_ring), so the footprint is O(1) in waypoint count like the
+    reference's host-RAM potential maps (field.rs:235-239).  Blocks
+    wanting more than wp_ring planes serialize the extras' DMA behind
+    sampling; typical destination-clustered blocks want 1-2.
     Returns OUT [ny_pad+2, K, 8, NXL], ghost-carrying (rows 0 and
     ny_pad+1 zeroed).
     """
@@ -698,9 +743,14 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
         wp_w = (n_wp + 30) // 31
         assert wp_mask.shape == (nb, wp_w) and wp_mask.dtype == jnp.int32, (
             wp_mask.shape, wp_mask.dtype, (nb, wp_w))
+    # Without the skip every plane is one slab DMA with its own resident
+    # buffer (ring == n_wp keeps plane % ring == plane); with it the ring
+    # caps residency at wp_ring slabs.
+    ring = min(n_wp, max(1, wp_ring)) if wp_skip else n_wp
 
     kernel = functools.partial(
-        _kernel, rb=rb, k=k, mk=mk, wp_skip=wp_skip, n_wp=n_wp, phys=phys,
+        _kernel, rb=rb, k=k, mk=mk, wp_skip=wp_skip, n_wp=n_wp, ring=ring,
+        phys=phys,
         grid_w=grid_size[0], grid_h=grid_size[1],
         stride=stride, inv_unit=1.0 / field_unit,
         cell_unit=stride * field_unit, segments=segments,
@@ -728,7 +778,7 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
                                          jnp.float32)
     scratch = [
         pltpu.VMEM((2, rb + 2, k, 8, nxl), jnp.float32),
-        pltpu.VMEM((2, n_wp, flen, stride, N_CH, nxl), jnp.float32),
+        pltpu.VMEM((2, ring, flen, stride, N_CH, nxl), jnp.float32),
         pltpu.VMEM((2, flen, stride, N_CH, nxl), jnp.float32),
         pltpu.VMEM((rb + 2, k, nxl), jnp.float32),
         pltpu.VMEM((rb, k, 8, nxl), jnp.float32),
@@ -741,7 +791,7 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
                     pltpu.VMEM((rb, k, nxl), jnp.float32)]
     scratch.append(pltpu.SemaphoreType.DMA((2, 3)))
     if wp_skip:
-        scratch.append(pltpu.SemaphoreType.DMA((2, n_wp)))
+        scratch.append(pltpu.SemaphoreType.DMA((2, ring)))
     scratch.append(pltpu.SemaphoreType.DMA)
     return pl.pallas_call(
         kernel,

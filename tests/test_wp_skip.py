@@ -127,6 +127,34 @@ def test_gated_kernel_bit_identical_on_active_slots():
     assert np.all(gated[0] == 0) and np.all(gated[-1] == 0)
 
 
+def test_plane_ring_smaller_than_n_wp_bit_identical():
+    """wp_ring < n_wp exercises the ring-wrap path: plane p lives in VMEM
+    slot p % ring and later planes' DMAs start only after the slot's
+    previous tenant finished sampling (O(1)-in-waypoints VMEM like the
+    reference's host-RAM maps, field.rs:235-239).  ring=1 is full
+    serialization — the strictest ordering case."""
+    sc, d, f6, rb = _small_grid_inputs(seed=2)
+    phys = Physics()
+    dk = jnp.asarray(d)
+    fwp = jnp.asarray(f6.wp)
+    fobs = jnp.asarray(f6.obs)
+    n_wp = fwp.shape[0]
+    assert n_wp == 3
+    wpm = waypoint_block_mask(dk, rb, n_wp)
+
+    base = np.asarray(fused_step_kernel(
+        dk, fwp, fobs, phys, sc.size, row_block=rb, interpret=True))
+    act = base[:, :, 6, :] > 0.5
+    for ring in (1, 2):
+        gated = np.asarray(fused_step_kernel(
+            dk, fwp, fobs, phys, sc.size, row_block=rb, interpret=True,
+            wp_mask=wpm, wp_ring=ring))
+        np.testing.assert_array_equal(gated[:, :, 6, :], base[:, :, 6, :])
+        for c in range(8):
+            np.testing.assert_array_equal(gated[:, :, c, :][act],
+                                          base[:, :, c, :][act])
+
+
 def test_gated_kernel_emit_movers_bit_identical():
     """Gating composes with the incremental-rebin kernel mode: OUT active
     slots and the whole mover table M match the ungated build."""
