@@ -375,14 +375,15 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
             if s > 0:
                 need_full = need_full | (
                     jnp.max(d[:, 0, 7, :]) >= float(k - 1))
-            d_new, ovf, dmx = jax.lax.cond(
+            d_new, ovf, dmx, nact_in, nact_out = jax.lax.cond(
                 need_full,
                 lambda g_, m_: rebin_kernel(
                     g_, grid.unit, grid.nx, grid.ny, row_block=rb,
-                    interpret=interpret, jmax=jmax),
+                    interpret=interpret, jmax=jmax, emit_counts=True),
                 lambda g_, m_: rebin_incremental(
                     g_, m_, grid.unit, grid.nx, grid.ny, row_block=rb,
-                    interpret=interpret, jmax=jmax, mmax=mmax),
+                    interpret=interpret, jmax=jmax, mmax=mmax,
+                    emit_counts=True),
                 g, m)
             max_mover_demand = jnp.max(mdmx).astype(jnp.int32)
         else:
@@ -395,12 +396,17 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
             # consumes g directly and its output IS next step's state —
             # no XLA-side pad/clamp copies; overflow/demand ride out as
             # per-block scalars.
-            d_new, ovf, dmx = rebin_kernel(g, grid.unit, grid.nx, grid.ny,
-                                           row_block=rb,
-                                           interpret=interpret, jmax=jmax)
-        n_active = jnp.sum(g[:, :, 6, :]).astype(jnp.int32)
+            d_new, ovf, dmx, nact_in, nact_out = rebin_kernel(
+                g, grid.unit, grid.nx, grid.ny, row_block=rb,
+                interpret=interpret, jmax=jmax, emit_counts=True)
+        # n_active/n_after ride the rebin's fused per-block active sums
+        # (emit_counts) instead of re-reading the two 10 MB act-channel
+        # planes on the XLA side — part of the 0.36 ms/step glue
+        # measured by scripts/ab_glue.py.  Exact: per-block sums are
+        # < 2^15, the total < 2^24, both within f32's integer range.
+        n_active = jnp.sum(nact_in).astype(jnp.int32)
         n_overflow = jnp.sum(ovf).astype(jnp.int32)
-        n_after = jnp.sum(d_new[:, :, 6, :]).astype(jnp.int32)
+        n_after = jnp.sum(nact_out).astype(jnp.int32)
 
         metrics = StepMetrics(
             n_active=n_active,

@@ -52,6 +52,13 @@ def _pair_accum(acc, center, cand, phys: Physics, self_slot=None):
     magnitude AND squared so neither |force| nor |u| materializes:
     e·(−f) ≥ |f|·cosφ  ⇔  −(e·u) ≥ |u|·cosφ with f = mag·u, mag ≥ 0
                        ⇔  (e·u ≤ 0) ∨ ((e·u)² ≤ |u|²·cos²φ)  since cosφ < 0.
+
+    Callers looping lane offsets over one candidate row may pass the
+    offset-invariant products pre-computed ("vxdt" = vx·dt, "vydt" =
+    vy·dt, "v2dtt" = (vx²+vy²)·dt²) instead of "vx"/"vy": elementwise
+    math commutes with the lane roll, so hoisting is bit-exact while
+    paying those 6 candidate-side ops once per row instead of per
+    (row, dx offset).
     """
     dt = phys.delta_time
     dx = center["px"] - cand["px"]
@@ -62,14 +69,19 @@ def _pair_accum(acc, center, cand, phys: Physics, self_slot=None):
     if self_slot is not None:
         valid = valid & jnp.logical_not(self_slot)
 
-    t1x = dx - cand["vx"] * dt
-    t1y = dy - cand["vy"] * dt
+    vxdt = cand["vxdt"] if "vxdt" in cand else cand["vx"] * dt
+    vydt = cand["vydt"] if "vydt" in cand else cand["vy"] * dt
+    t1x = dx - vxdt
+    t1y = dy - vydt
     t1l2 = t1x * t1x + t1y * t1y
     inv_d = jax.lax.rsqrt(jnp.maximum(d2, EPS))
     inv_t1l = jax.lax.rsqrt(jnp.maximum(t1l2, EPS))
     t2 = d2 * inv_d + t1l2 * inv_t1l  # d + |t1|
-    v2 = cand["vx"] * cand["vx"] + cand["vy"] * cand["vy"]
-    b2 = jnp.maximum(t2 * t2 - v2 * (dt * dt), EPS)
+    if "v2dtt" in cand:
+        v2dtt = cand["v2dtt"]
+    else:
+        v2dtt = (cand["vx"] * cand["vx"] + cand["vy"] * cand["vy"]) * (dt * dt)
+    b2 = jnp.maximum(t2 * t2 - v2dtt, EPS)
     inv_b = jax.lax.rsqrt(b2)  # 1 / (2b)
     # mag/(4b) with b = sqrt(b2)/2: strength·exp(−b/σ)·t2 · inv_b/2
     mag = (0.5 * phys.ped_strength) * jnp.exp(
@@ -112,11 +124,21 @@ def _kernel(d_hbm, acc_ref, window, sem, *, rb: int, k: int, phys: Physics):
 
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
 
+    dt = phys.delta_time
     for dy in (-1, 0, 1):
         def body(j, acc, dy=dy):
-            row = {
+            raw = {
                 name: window[1 + dy : 1 + dy + rb, pl.ds(j, 1), idx, :]
                 for name, idx in _CAND_CH
+            }
+            # dx-offset-invariant candidate products hoisted out of the
+            # dxo loop (bit-exact: elementwise math commutes with roll).
+            row = {
+                "px": raw["px"], "py": raw["py"], "act": raw["act"],
+                "vxdt": raw["vx"] * dt,
+                "vydt": raw["vy"] * dt,
+                "v2dtt": (raw["vx"] * raw["vx"] + raw["vy"] * raw["vy"])
+                         * (dt * dt),
             }
             for dxo in (-1, 0, 1):
                 cand = {

@@ -58,9 +58,13 @@ from .step_kernel import _shift_lane
 
 
 def _kernel(jmax_ref, roff_ref, coff_ref, g_hbm, out_hbm, ovf_ref, dmx_ref,
-            window2, outbuf, sems, out_sem, *,
-            rb: int, k: int, unit: float, nx_cells: int, ny_cells: int,
-            nx_local: int):
+            *rest, rb: int, k: int, unit: float, nx_cells: int,
+            ny_cells: int, nx_local: int, emit_counts: bool = False):
+    if emit_counts:
+        nin_ref, nout_ref, window2, outbuf, sems, out_sem = rest
+    else:
+        nin_ref = nout_ref = None
+        window2, outbuf, sems, out_sem = rest
     i = pl.program_id(0)
     jmax = jmax_ref[i]
     # Double-buffered input DMA (same pattern as step_kernel): block
@@ -96,11 +100,14 @@ def _kernel(jmax_ref, roff_ref, coff_ref, g_hbm, out_hbm, ovf_ref, dmx_ref,
         outbuf[:] = jnp.zeros_like(outbuf[:])
         ovf_ref[i] = 0.0
         dmx_ref[i] = 0.0
+        if emit_counts:
+            nin_ref[i] = 0.0
+            nout_ref[i] = 0.0
 
     @pl.when(jmax > 0)
     def _compute_block():
         _compute(i, jmax, roff_ref, coff_ref, window2.at[slot], outbuf,
-                 ovf_ref, dmx_ref, rb=rb, k=k, unit=unit,
+                 ovf_ref, dmx_ref, nin_ref, nout_ref, rb=rb, k=k, unit=unit,
                  nx_cells=nx_cells, ny_cells=ny_cells, nx_local=nx_local)
 
     co = pltpu.make_async_copy(
@@ -127,8 +134,8 @@ def _kernel(jmax_ref, roff_ref, coff_ref, g_hbm, out_hbm, ovf_ref, dmx_ref,
 
 
 def _compute(i, jmax, roff_ref, coff_ref, window, outbuf, ovf_ref, dmx_ref,
-             *, rb: int, k: int, unit: float, nx_cells: int, ny_cells: int,
-             nx_local: int):
+             nin_ref=None, nout_ref=None, *, rb: int, k: int, unit: float,
+             nx_cells: int, ny_cells: int, nx_local: int):
     """The occupied-block body: walk the 9*jmax candidates and compact
     them into fresh bins in ``outbuf``.  (``i`` = pl.program_id(0), passed
     in: calling the primitive inside a pl.when body escapes the
@@ -214,12 +221,30 @@ def _compute(i, jmax, roff_ref, coff_ref, window, outbuf, ovf_ref, dmx_ref,
     # them): the un-clamped cnt never leaves the kernel otherwise.
     ovf_ref[i] = jnp.sum(jnp.maximum(cnt - float(k), 0.0))
     dmx_ref[i] = jnp.max(cnt)
+    if nin_ref is not None:
+        # Metric fusion (emit_counts): per-block input/output active sums
+        # so the step never re-reads the 10 MB act channel on the XLA
+        # side (measured glue 0.36 ms/step at 1M, scripts/ab_glue.py).
+        # Input side gated to OWNED lanes — under 2D tile sharding the
+        # ghost lanes hold the lane-neighbor's agents (single-chip the
+        # gate is a no-op; ghost lanes are empty).  Output side needs no
+        # gate: cnt only counts landers, and landing is owned-only.
+        own = jnp.where(
+            (lane >= coff.astype(jnp.float32) + 1.0) & (lane <= nx_lim),
+            1.0, 0.0)
+        nin_ref[i] = jnp.sum(window[1 : 1 + rb, :, 6, :] * own)
+        nout_ref[i] = jnp.sum(jnp.minimum(cnt, float(k)))
 
 
 def _kernel_inc(jmax_ref, mmax_ref, roff_ref, coff_ref, g_hbm, m_hbm,
-                out_hbm, ovf_ref, dmx_ref, gwin2, mwin2, outbuf, sems,
-                out_sem, *, rb: int, k: int, mk: int, unit: float,
-                nx_cells: int, ny_cells: int, nx_local: int):
+                out_hbm, ovf_ref, dmx_ref, *rest, rb: int, k: int, mk: int,
+                unit: float, nx_cells: int, ny_cells: int, nx_local: int,
+                emit_counts: bool = False):
+    if emit_counts:
+        nin_ref, nout_ref, gwin2, mwin2, outbuf, sems, out_sem = rest
+    else:
+        nin_ref = nout_ref = None
+        gwin2, mwin2, outbuf, sems, out_sem = rest
     """Incremental (hole-preserving) rebin: stayers keep their slots,
     only the compacted mover table M is walked and first-fit into holes.
 
@@ -260,12 +285,16 @@ def _kernel_inc(jmax_ref, mmax_ref, roff_ref, coff_ref, g_hbm, m_hbm,
         outbuf[:] = jnp.zeros_like(outbuf[:])
         ovf_ref[i] = 0.0
         dmx_ref[i] = 0.0
+        if emit_counts:
+            nin_ref[i] = 0.0
+            nout_ref[i] = 0.0
 
     @pl.when(jmax > 0)
     def _compute_block():
         _compute_inc(i, mmax_ref[i], roff_ref, coff_ref, gwin2.at[slot],
-                     mwin2.at[slot], outbuf, ovf_ref, dmx_ref, rb=rb, k=k,
-                     mk=mk, unit=unit, nx_cells=nx_cells, ny_cells=ny_cells,
+                     mwin2.at[slot], outbuf, ovf_ref, dmx_ref, nin_ref,
+                     nout_ref, rb=rb, k=k, mk=mk, unit=unit,
+                     nx_cells=nx_cells, ny_cells=ny_cells,
                      nx_local=nx_local)
 
     co = pltpu.make_async_copy(
@@ -292,8 +321,9 @@ def _kernel_inc(jmax_ref, mmax_ref, roff_ref, coff_ref, g_hbm, m_hbm,
 
 
 def _compute_inc(i, mmax, roff_ref, coff_ref, gwin, mwin, outbuf, ovf_ref,
-                 dmx_ref, *, rb: int, k: int, mk: int, unit: float,
-                 nx_cells: int, ny_cells: int, nx_local: int):
+                 dmx_ref, nin_ref=None, nout_ref=None, *, rb: int, k: int,
+                 mk: int, unit: float, nx_cells: int, ny_cells: int,
+                 nx_local: int):
     """Occupied-block body of the incremental rebin.
 
     Stay side: channel 7 of G carries the stay mask computed by kernel 1
@@ -391,6 +421,13 @@ def _compute_inc(i, mmax, roff_ref, coff_ref, gwin, mwin, outbuf, ovf_ref,
     outbuf[:, :, 7, :] = jnp.broadcast_to(topcnt, (rb, k, nxl))
     ovf_ref[i] = jnp.sum(jnp.maximum(mdem - free_total, 0.0))
     dmx_ref[i] = jnp.max((jnp.float32(k) - free_total) + mdem)
+    if nin_ref is not None:
+        # Metric fusion (emit_counts, see _compute): input act over the
+        # rb center rows (gwin holds exactly those), owned lanes only;
+        # output act_out is owned-only by construction (st is own-gated,
+        # mdem only accumulates at owned target lanes).
+        nin_ref[i] = jnp.sum(gwin[:, :, 6, :] * own)
+        nout_ref[i] = jnp.sum(act_out)
 
 
 def rebin_incremental(g: jnp.ndarray, m: jnp.ndarray, unit: float,
@@ -400,7 +437,8 @@ def rebin_incremental(g: jnp.ndarray, m: jnp.ndarray, unit: float,
                       mmax: jnp.ndarray | None = None,
                       row_offset: jnp.ndarray | None = None,
                       col_offset: jnp.ndarray | None = None,
-                      nx_local: int | None = None) -> tuple:
+                      nx_local: int | None = None,
+                      emit_counts: bool = False) -> tuple:
     """Hole-preserving rebin: G's stayers (channel 7 = kernel-1 stay mask)
     keep their slots; only the compacted mover table ``m`` is walked and
     first-fit into holes.  ~90% of agents do not change cell in a step
@@ -417,7 +455,11 @@ def rebin_incremental(g: jnp.ndarray, m: jnp.ndarray, unit: float,
     window), the candidate-walk trip count.
     Returns (D' ghost-carrying with ch 7 = topcnt, overflow [nb],
     demand_max [nb]) — same contract as rebin_kernel, except bins may
-    contain holes (inactive slots below topcnt)."""
+    contain holes (inactive slots below topcnt).  With ``emit_counts``
+    two [nb] f32 outputs are appended: per-block input-active and
+    output-active sums (owned lanes), so the step's n_active/n_after
+    metrics need no full-grid XLA reductions (ab_glue.py measured that
+    glue at 0.36 ms/step at 1M)."""
     ny2, k, ch, nxl = g.shape
     mk = m.shape[1]
     assert ch == 8 and nxl % 128 == 0 and m.shape == (ny2, mk, 8, nxl)
@@ -440,7 +482,9 @@ def rebin_incremental(g: jnp.ndarray, m: jnp.ndarray, unit: float,
 
     kernel = functools.partial(_kernel_inc, rb=rb, k=k, mk=mk, unit=unit,
                                nx_cells=nx_cells, ny_cells=ny_cells,
-                               nx_local=nx_local)
+                               nx_local=nx_local, emit_counts=emit_counts)
+    n_extra = 2 if emit_counts else 0
+    smem_out = pl.BlockSpec((nb,), lambda i: (0,), memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -452,16 +496,11 @@ def rebin_incremental(g: jnp.ndarray, m: jnp.ndarray, unit: float,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((nb,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nb,), lambda i: (0,), memory_space=pltpu.SMEM),
-        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [smem_out] * (2 + n_extra),
         out_shape=[
             jax.ShapeDtypeStruct((ny_pad + 2, k, 8, nxl), jnp.float32),
-            jax.ShapeDtypeStruct((nb,), jnp.float32),
-            jax.ShapeDtypeStruct((nb,), jnp.float32),
-        ],
+        ] + [jax.ShapeDtypeStruct((nb,), jnp.float32)] * (2 + n_extra),
         scratch_shapes=[
             pltpu.VMEM((2, rb, k, 8, nxl), jnp.float32),
             pltpu.VMEM((2, rb + 2, mk, 8, nxl), jnp.float32),
@@ -482,7 +521,8 @@ def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
                  jmax: jnp.ndarray | None = None,
                  row_offset: jnp.ndarray | None = None,
                  col_offset: jnp.ndarray | None = None,
-                 nx_local: int | None = None) -> jnp.ndarray:
+                 nx_local: int | None = None,
+                 emit_counts: bool = False) -> jnp.ndarray:
     """Rebin the post-step grid ``g`` into fresh compacted cell bins.
 
     g    [ny_pad+2, K, 8, NXL]  (NXL % 128 == 0, ny_pad % row_block == 0;
@@ -500,6 +540,10 @@ def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
     the lane-neighbor's (its rebin keeps them).  Defaults: 0 / nx_cells.
     Returns (D' [ny_pad+2, K, 8, NXL] ghost-carrying with channel 7 =
     per-cell count clamped to K, overflow [nb], demand_max [nb]).
+    With ``emit_counts`` two [nb] f32 outputs are appended: per-block
+    input-active and output-active sums (owned lanes) — the step's
+    n_active/n_after without full-grid XLA reductions (see
+    rebin_incremental).
     """
     ny2, k, ch, nxl = g.shape
     assert ch == 8 and nxl % 128 == 0
@@ -520,7 +564,9 @@ def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
 
     kernel = functools.partial(_kernel, rb=rb, k=k, unit=unit,
                                nx_cells=nx_cells, ny_cells=ny_cells,
-                               nx_local=nx_local)
+                               nx_local=nx_local, emit_counts=emit_counts)
+    n_extra = 2 if emit_counts else 0
+    smem_out = pl.BlockSpec((nb,), lambda i: (0,), memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -530,16 +576,11 @@ def rebin_kernel(g: jnp.ndarray, unit: float, nx_cells: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((nb,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nb,), lambda i: (0,), memory_space=pltpu.SMEM),
-        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [smem_out] * (2 + n_extra),
         out_shape=[
             jax.ShapeDtypeStruct((ny_pad + 2, k, 8, nxl), jnp.float32),
-            jax.ShapeDtypeStruct((nb,), jnp.float32),
-            jax.ShapeDtypeStruct((nb,), jnp.float32),
-        ],
+        ] + [jax.ShapeDtypeStruct((nb,), jnp.float32)] * (2 + n_extra),
         scratch_shapes=[
             pltpu.VMEM((2, rb + 2, k, 8, nxl), jnp.float32),
             pltpu.VMEM((rb, k, 8, nxl), jnp.float32),

@@ -566,13 +566,23 @@ def _compute(i, jmax, roff_ref, coff_ref, window, fwp, fobs, act_scr,
     # candidate slot instead of once per (dy, slot).
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
 
+    dt_pair = phys.delta_time
+
     def body(j, acc):
         for dy in (-1, 0, 1):
+            # Offset-invariant candidate products hoisted out of the dxo
+            # loop (elementwise math commutes with the lane roll, so this
+            # is bit-exact): vx·dt / vy·dt / (vx²+vy²)·dt² are paid once
+            # per candidate row instead of once per (row, offset) —
+            # 6 narrow ops x 2 rolled offsets saved vs 2 extra rolls.
+            cvx = window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 2, :]
+            cvy = window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 3, :]
             row = {
                 "px": window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 0, :],
                 "py": window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 1, :],
-                "vx": window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 2, :],
-                "vy": window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 3, :],
+                "vxdt": cvx * dt_pair,
+                "vydt": cvy * dt_pair,
+                "v2dtt": (cvx * cvx + cvy * cvy) * (dt_pair * dt_pair),
                 "act": act_scr[1 + dy : 1 + dy + rb, pl.ds(j, 1), :],
             }
             for dxo in (-1, 0, 1):

@@ -45,8 +45,10 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from bench import build
+    from pedoni_tpu.ops.pallas.step_kernel import waypoint_block_mask
 
     results = {}
+    wanted = {}
     for w in args.wp:
         arms = []
         for skip in ((True,) if w == 1 else (False, True)):
@@ -59,6 +61,17 @@ def main() -> int:
                 state, m = step(state)
             print(f"  W={w} skip={skip}: warm, active={int(m.n_active)}",
                   flush=True)
+            if skip and w > 1:
+                # Attribution diagnostic: how many planes does each block
+                # actually WANT after warmup?  If the skip-on ms growth vs
+                # W=1 tracks this mean, the gate achieves its design and
+                # the residual slope is physics (band-boundary mixing),
+                # not gate overhead.
+                mask = waypoint_block_mask(state.d, 2, w)
+                pops = jax.lax.population_count(mask).sum(axis=1)
+                wanted[w] = (float(jnp.mean(pops)), int(jnp.max(pops)))
+                print(f"  W={w}: wanted planes/block mean "
+                      f"{wanted[w][0]:.2f} max {wanted[w][1]}", flush=True)
             arms.append((skip, step, state))
 
         best = {skip: float("inf") for skip, _, _ in arms}
@@ -85,10 +98,13 @@ def main() -> int:
                   f"skip win {best[False] / best[True]:.3f}x", flush=True)
 
     print("\nn_wp curve (ms/step at 1M agents):")
-    print("  W    skip-off  skip-on   vs W=1(on)")
+    print("  W    skip-off  skip-on   vs W=1(on)  wanted/block")
     base = results[args.wp[0]][1]
     for w, (off, on) in results.items():
-        print(f"  {w:3d}  {off:8.2f}  {on:8.2f}   {on / base:.2f}x")
+        wn = (f"{wanted[w][0]:.2f} (max {wanted[w][1]})"
+              if w in wanted else "1 (static)")
+        print(f"  {w:3d}  {off:8.2f}  {on:8.2f}   {on / base:.2f}x"
+              f"   {wn}")
     return 0
 
 

@@ -140,6 +140,28 @@ def test_rebin_overflow_drops_in_order():
     assert (got[:, :, 6, :] > 0.5).sum() == K
 
 
+def test_rebin_emit_counts():
+    """``emit_counts`` appends per-block input/output active sums (the
+    n_active/n_after metric fusion consumed by sfm_grid.make_step_grid —
+    no full-grid XLA act-channel reductions) and leaves the base outputs
+    bit-identical."""
+    ny = 8
+    rb = 2
+    g = _make_grid(ny, seed=4)
+    base = [np.asarray(a) for a in rebin_kernel(
+        jnp.asarray(g), UNIT, NX, ny, row_block=rb, interpret=True)]
+    got, ovf, dmx, nin, nout = (np.asarray(a) for a in rebin_kernel(
+        jnp.asarray(g), UNIT, NX, ny, row_block=rb, interpret=True,
+        emit_counts=True))
+    np.testing.assert_array_equal(got, base[0])
+    np.testing.assert_array_equal(ovf, base[1])
+    np.testing.assert_array_equal(dmx, base[2])
+    for i in range(ny // rb):
+        rows = slice(i * rb + 1, i * rb + 1 + rb)
+        assert nin[i] == (g[rows, :, 6, :] > 0.5).sum()
+        assert nout[i] == (got[rows, :, 6, :] > 0.5).sum()
+
+
 def test_rebin_out_of_field_vanish():
     """Agents whose new position floors outside the field disappear
     (reference neighbor_grid.rs:29 semantics), including into the ghost

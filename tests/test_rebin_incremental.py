@@ -87,6 +87,29 @@ def test_incremental_matches_full_rebin():
     assert np.all(got[0] == 0) and np.all(got[-1] == 0)  # zero ghosts
 
 
+def test_incremental_emit_counts():
+    """``emit_counts`` on the incremental form: per-block input/output
+    active sums match NumPy recounts, base outputs bit-identical (the
+    hybrid step's lax.cond needs both rebin forms to emit them)."""
+    ny = 8
+    rb = 2
+    g0 = _make_grid(ny, seed=6)
+    gi, m = _split_stay_movers(g0, mk=6)
+    base = [np.asarray(a) for a in rebin_incremental(
+        jnp.asarray(gi), jnp.asarray(m), UNIT, NX, ny, row_block=rb,
+        interpret=True)]
+    got, ovf, dmx, nin, nout = (np.asarray(a) for a in rebin_incremental(
+        jnp.asarray(gi), jnp.asarray(m), UNIT, NX, ny, row_block=rb,
+        interpret=True, emit_counts=True))
+    np.testing.assert_array_equal(got, base[0])
+    np.testing.assert_array_equal(ovf, base[1])
+    np.testing.assert_array_equal(dmx, base[2])
+    for i in range(ny // rb):
+        rows = slice(i * rb + 1, i * rb + 1 + rb)
+        assert nin[i] == (gi[rows, :, 6, :] > 0.5).sum()
+        assert nout[i] == (got[rows, :, 6, :] > 0.5).sum()
+
+
 def test_incremental_overflow_counts_match_full():
     """Dense grid overflowing K: the incremental path must count exactly
     the same number of cell-overflow drops as the full rebin (WHICH agent
