@@ -222,6 +222,14 @@ def main() -> int:
                          "1024-lane sweet spot (100%% lane utilization, same "
                          "area/density/physics); square = the legacy square "
                          "field; tiles:T = force T 128-lane tiles of width")
+    ap.add_argument("--suite", action="store_true",
+                    help="emit THREE capture lines instead of one: the "
+                         "1M W=1 headline, a 1M W=8 multi-waypoint "
+                         "companion, and an 8M scale companion — so "
+                         "multi-waypoint and scale claims are pinned to "
+                         "driver-contract captures, not ledger prose "
+                         "(VERDICT round-4 ask #10).  Each line carries "
+                         "a \"config\" tag; the first is the headline.")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
     if args.domain.startswith("tiles:"):
@@ -279,6 +287,33 @@ def main() -> int:
                       str(pathlib.Path(__file__).resolve().parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.suite:
+        # Three driver-contract captures, one JSON line each: headline,
+        # multi-waypoint companion, scale companion.  The headline line
+        # comes FIRST so a driver that reads line one sees the same
+        # record a plain run would print.
+        configs = [
+            ("headline_1M", {}),
+            ("waypoints8_1M", {"waypoints": 8}),
+            ("scale_8M", {"agents": 8_000_000}),
+        ]
+        rc = 0
+        for tag, over in configs:
+            sub = argparse.Namespace(**{**vars(args), "suite": False, **over})
+            rec = capture(sub)
+            rec["config"] = tag
+            print(json.dumps(rec), flush=True)
+        return rc
+    print(json.dumps(capture(args)))
+    return 0
+
+
+def capture(args) -> dict:
+    """Build + measure one configuration; returns the record dict."""
+    import time
+
+    import jax
 
     t0 = time.perf_counter()
     fallback_chain = {"grid": "pallas", "pallas": "xla"}
@@ -381,7 +416,7 @@ def main() -> int:
               f"{steps_per_sec:.1f} steps/s", file=sys.stderr)
 
     print(f"# backend={args.backend}", file=sys.stderr)
-    print(json.dumps({
+    return {
         "metric": "agent_steps_per_sec",
         "value": agent_steps,
         "unit": "agent-steps/s",
@@ -396,8 +431,7 @@ def main() -> int:
         "method": f"best-of-{rounds}-rounds x 4 windows x {window} steps",
         "rounds": rounds,
         "waypoints": args.waypoints,
-    }))
-    return 0
+    }
 
 
 if __name__ == "__main__":

@@ -230,6 +230,24 @@ def occupancy_bound(d_pad: jnp.ndarray, rb: int, nb: int, k: int) -> jnp.ndarray
     return jnp.minimum(jnp.max(w, axis=0), float(k)).astype(jnp.int32)
 
 
+def occupancy_bounds(d_pad: jnp.ndarray, rb: int, nb: int, k: int
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(window bound, CENTER-row bound) in one count-channel pass.
+
+    The window bound feeds the candidate-trip fori (as occupancy_bound);
+    the center bound — max over each block's rb CENTER rows only, a
+    strictly tighter statistic — gates the pair pass's slot-split hi
+    tile: center slots [8:K] can only be occupied where a center cell's
+    topcnt exceeds 8 (the count channel tracks the TOP occupied slot, so
+    holes on the incremental path are covered)."""
+    rowmax = jnp.max(d_pad[:, 0, 7, :], axis=-1)
+    w = jnp.stack([rowmax[off::rb][:nb] for off in range(rb + 2)])
+    win = jnp.minimum(jnp.max(w, axis=0), float(k)).astype(jnp.int32)
+    cen = jnp.minimum(jnp.max(w[1 : rb + 1], axis=0),
+                      float(k)).astype(jnp.int32)
+    return win, cen
+
+
 def assert_movement_fits_rebin(cfg: StepConfig) -> None:
     """Movement must stay under one cell per step for the 3x3 rebin
     window (and the one-ghost-row/lane exchange of the sharded paths)."""
@@ -241,7 +259,8 @@ def assert_movement_fits_rebin(cfg: StepConfig) -> None:
 
 def make_kernel_chain(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
                       incremental: bool = False, mover_k: int = 8,
-                      wp_skip: bool = True):
+                      wp_skip: bool = True, wp_ring: int = 4,
+                      slot_split: bool = True):
     """Kernels-only step (fused force kernel + rebin, no spawn/metrics):
     ``(d, fwp, fobs) -> d'``.  The measurement surface behind the
     diagnostic log's ``time_calc_state_kernel`` slot — the reference
@@ -266,7 +285,9 @@ def make_kernel_chain(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
     segs = debug_segments(cfg)
 
     def chain(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray):
-        jmax = occupancy_bound(d, rb, nb, k)
+        jmax, jcen = occupancy_bounds(d, rb, nb, k)
+        if not slot_split:
+            jcen = None
         wpm = (waypoint_block_mask(d, rb, fwp.shape[0]) if wp_skip
                else None)
         if incremental:
@@ -274,7 +295,8 @@ def make_kernel_chain(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
                 d, fwp, fobs, cfg.physics, cfg.scenario.size,
                 row_block=rb, interpret=interpret, jmax=jmax,
                 stride=stride, field_unit=cfg.field_unit,
-                segments=segs, emit_movers=mk, wp_mask=wpm)
+                segments=segs, emit_movers=mk, wp_mask=wpm, wp_ring=wp_ring,
+                jcen=jcen)
             mmax = occupancy_bound(m, rb, nb, mk)
             d2, _ovf, _dmx = rebin_incremental(
                 g, m, cfg.grid.unit, cfg.grid.nx, cfg.grid.ny,
@@ -283,7 +305,8 @@ def make_kernel_chain(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
         g = fused_step_kernel(d, fwp, fobs, cfg.physics, cfg.scenario.size,
                               row_block=rb, interpret=interpret, jmax=jmax,
                               stride=stride, field_unit=cfg.field_unit,
-                              segments=segs, wp_mask=wpm)
+                              segments=segs, wp_mask=wpm, wp_ring=wp_ring,
+                              jcen=jcen)
         d2, _ovf, _dmx = rebin_kernel(g, cfg.grid.unit, cfg.grid.nx,
                                       cfg.grid.ny, row_block=rb,
                                       interpret=interpret, jmax=jmax)
@@ -294,7 +317,9 @@ def make_kernel_chain(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
 
 def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
                    incremental: bool = True, mover_k: int = 8,
-                   compact_every: int = 8, wp_skip: bool = True):
+                   compact_every: int = 8, wp_skip: bool = True,
+                   wp_ring: int = 4, slot_split: bool = True,
+                   wp_force_all: bool = False):
     """Build the grid-resident step:
     (GridState, fwp, fobs) -> (GridState, StepMetrics).
 
@@ -345,9 +370,6 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
     assert_movement_fits_rebin(cfg)
     mk = min(mover_k, k)
 
-    def _jmax(d: jnp.ndarray) -> jnp.ndarray:
-        return occupancy_bound(d, rb, nb, k)
-
     def step(state: GridState, fwp: jnp.ndarray, fobs: jnp.ndarray
              ) -> tuple[GridState, StepMetrics]:
         key, k_spawn = jax.random.split(state.key)
@@ -359,16 +381,29 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
             n_spawned = jnp.int32(0)
             n_spawn_drop = jnp.int32(0)
 
-        jmax = _jmax(d)
+        jmax, jcen = occupancy_bounds(d, rb, nb, k)
+        if not slot_split:
+            jcen = None
         wpm = (waypoint_block_mask(d, rb, fwp.shape[0]) if wp_skip
                else None)
+        if wp_force_all and wpm is not None:
+            # Attribution diagnostic (scripts/ab_wp_curve.py --decompose):
+            # run the full gated machinery but force every block to want
+            # EVERY plane — same sampling work as skip-off, so the delta
+            # vs skip-off isolates the pure gating overhead (scratch
+            # accumulate + per-plane branches) from the sampling saved.
+            n_wp = fwp.shape[0]
+            words = [jnp.int32((1 << min(31, n_wp - 31 * wd)) - 1)
+                     for wd in range((n_wp + 30) // 31)]
+            wpm = jnp.broadcast_to(jnp.stack(words)[None, :], wpm.shape)
         max_mover_demand = jnp.int32(0)
         if incremental:
             g, m, movf, mdmx = fused_step_kernel(
                 d, fwp, fobs, phys, cfg.scenario.size,
                 row_block=rb, interpret=interpret, jmax=jmax,
                 stride=stride, field_unit=cfg.field_unit,
-                segments=segs, emit_movers=mk, wp_mask=wpm)
+                segments=segs, emit_movers=mk, wp_mask=wpm, wp_ring=wp_ring,
+                jcen=jcen)
             mmax = occupancy_bound(m, rb, nb, mk)
             need_full = (jnp.sum(movf) > 0.0) | (
                 jax.lax.rem(state.step, jnp.int32(compact_every)) == 0)
@@ -391,7 +426,7 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
                                   row_block=rb, interpret=interpret,
                                   jmax=jmax, stride=stride,
                                   field_unit=cfg.field_unit, segments=segs,
-                                  wp_mask=wpm)
+                                  wp_mask=wpm, wp_ring=wp_ring, jcen=jcen)
             # Both kernels emit ghost-carrying arrays, so the rebin
             # consumes g directly and its output IS next step's state —
             # no XLA-side pad/clamp copies; overflow/demand ride out as

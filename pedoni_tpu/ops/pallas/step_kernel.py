@@ -163,7 +163,7 @@ def _kernel(jmax_ref, roff_ref, coff_ref, *rest, rb: int, k: int, mk: int,
             wp_skip: bool, n_wp: int, ring: int, phys: Physics,
             grid_w: float, grid_h: float, stride: int = STRIDE,
             inv_unit: float = 4.0, cell_unit: float = 1.5,
-            segments: tuple | None = None):
+            segments: tuple | None = None, split: bool = False):
     """One kernel, three statically-selected modes:
 
     mk == 0, wp_skip False   the round-3 fused step (OUT alone)
@@ -187,9 +187,12 @@ def _kernel(jmax_ref, roff_ref, coff_ref, *rest, rb: int, k: int, mk: int,
     wanting <= ring planes behave exactly as the unbounded build
     (DMAs all prefetched); only denser blocks serialize extra planes."""
     idx = 0
+    jcen_ref = None
+    if split:
+        jcen_ref, idx = rest[0], 1
     want_ref = None
     if wp_skip:
-        want_ref, idx = rest[0], 1
+        want_ref, idx = rest[idx], idx + 1
     d_hbm, fwp_hbm, fobs_hbm, out_hbm = rest[idx : idx + 4]
     idx += 4
     if mk:
@@ -197,6 +200,10 @@ def _kernel(jmax_ref, roff_ref, coff_ref, *rest, rb: int, k: int, mk: int,
         idx += 3
     window2, fwp2, fobs2, act_scr, outbuf = rest[idx : idx + 5]
     idx += 5
+    acc_scr = None
+    if split:
+        acc_scr = rest[idx]
+        idx += 1
     mbuf = None
     wp_scr = None
     if mk:
@@ -311,7 +318,8 @@ def _kernel(jmax_ref, roff_ref, coff_ref, *rest, rb: int, k: int, mk: int,
                  k=k, n_wp=n_wp, ring=ring, phys=phys, grid_w=grid_w,
                  grid_h=grid_h, stride=stride, inv_unit=inv_unit,
                  segments=segments, cell_unit=cell_unit if mk else None,
-                 wp_gate=wp_gate)
+                 wp_gate=wp_gate,
+                 jcen=jcen_ref[i] if split else None, acc_scr=acc_scr)
         if mk:
             _mover_pass(i, jmax, act_scr, outbuf, mbuf, movf_ref,
                         mdmx_ref, rb=rb, mk=mk)
@@ -351,7 +359,8 @@ def _compute(i, jmax, roff_ref, coff_ref, window, fwp, fobs, act_scr,
              outbuf, *, rb: int, k: int, n_wp: int, phys: Physics,
              grid_w: float, grid_h: float, stride: int, inv_unit: float,
              segments: tuple | None, cell_unit: float | None = None,
-             wp_gate: tuple | None = None, ring: int = 0):
+             wp_gate: tuple | None = None, ring: int = 0, jcen=None,
+             acc_scr=None):
     """The occupied-block body: sanitize, sample, forces, integrate,
     fill ``outbuf`` with the post-step center rows.  (``i``/``jmax`` =
     pl.program_id(0) and this block's occupancy bound, passed in: calling
@@ -564,34 +573,87 @@ def _compute(i, jmax, roff_ref, coff_ref, window, fwp, fobs, act_scr,
     # All 9 window offsets sit in ONE fori body: the loop-control and
     # carry overhead (~200 ns/trip measured, PLAN.md) is paid once per
     # candidate slot instead of once per (dy, slot).
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
-
     dt_pair = phys.delta_time
 
-    def body(j, acc):
-        for dy in (-1, 0, 1):
-            # Offset-invariant candidate products hoisted out of the dxo
-            # loop (elementwise math commutes with the lane roll, so this
-            # is bit-exact): vx·dt / vy·dt / (vx²+vy²)·dt² are paid once
-            # per candidate row instead of once per (row, offset) —
-            # 6 narrow ops x 2 rolled offsets saved vs 2 extra rolls.
-            cvx = window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 2, :]
-            cvy = window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 3, :]
-            row = {
-                "px": window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 0, :],
-                "py": window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 1, :],
-                "vxdt": cvx * dt_pair,
-                "vydt": cvy * dt_pair,
-                "v2dtt": (cvx * cvx + cvy * cvy) * (dt_pair * dt_pair),
-                "act": act_scr[1 + dy : 1 + dy + rb, pl.ds(j, 1), :],
-            }
-            for dxo in (-1, 0, 1):
-                cand = {name: _shift_lane(arr, dxo) for name, arr in row.items()}
-                self_slot = (slot_iota == j) if (dy == 0 and dxo == 0) else None
-                acc = _pair_accum(acc, center, cand, phys, self_slot)
-        return acc
+    def make_body(ctr, slot_iota):
+        def body(j, acc):
+            for dy in (-1, 0, 1):
+                # Offset-invariant candidate products hoisted out of the
+                # dxo loop (elementwise math commutes with the lane roll,
+                # so this is bit-exact): vx·dt / vy·dt / (vx²+vy²)·dt²
+                # are paid once per candidate row instead of once per
+                # (row, offset) — 6 narrow ops x 2 rolled offsets saved
+                # vs 2 extra rolls.
+                cvx = window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 2, :]
+                cvy = window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 3, :]
+                row = {
+                    "px": window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 0, :],
+                    "py": window[1 + dy : 1 + dy + rb, pl.ds(j, 1), 1, :],
+                    "vxdt": cvx * dt_pair,
+                    "vydt": cvy * dt_pair,
+                    "v2dtt": (cvx * cvx + cvy * cvy) * (dt_pair * dt_pair),
+                    "act": act_scr[1 + dy : 1 + dy + rb, pl.ds(j, 1), :],
+                }
+                for dxo in (-1, 0, 1):
+                    cand = {name: _shift_lane(arr, dxo)
+                            for name, arr in row.items()}
+                    self_slot = ((slot_iota == j)
+                                 if (dy == 0 and dxo == 0) else None)
+                    acc = _pair_accum(acc, ctr, cand, phys, self_slot)
+            return acc
+        return body
 
-    accx, accy = jax.lax.fori_loop(0, jmax, body, (accx, accy))
+    if jcen is None or k <= 8:
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
+        accx, accy = jax.lax.fori_loop(0, jmax,
+                                       make_body(center, slot_iota),
+                                       (accx, accy))
+    else:
+        # Slot-split, BRANCH form (VERDICT round-4 ask #1 redux).  The
+        # measured settled occupancy at bench density is strongly
+        # sub-Poisson but sits at 9-11 (scripts/ab_pair_split.py --stats:
+        # p(center bound > 8) = 0.966, K = 14), so a run-both-halves
+        # split would pay 2 x 0.58 + duplicated candidate prep nearly
+        # everywhere — a regression.  Instead each block takes exactly
+        # ONE path: blocks whose CENTER-row bound fits one sublane tile
+        # (jcen <= 8) run the pair loop on center slots [0:8] only
+        # ([rb, 8, NXL] ops measure 0.58x of [rb, 16, NXL] — PLAN.md
+        # narrow-op curve); all others run the ORIGINAL unsplit loop,
+        # bit-for-bit, with no duplicated work.  Cost factor
+        # (1-p) * 0.58 + p * 1.0: never worse than unsplit (two scalar
+        # branches), a ~1.7x pair-pass win on sparse / low-density /
+        # evacuation-endgame blocks — the empty-block skip's discipline
+        # extended from "no agents" to "no crowded cell".
+        # Outputs are BIT-identical either way: slots >= the center
+        # bound are inactive (topcnt covers holes on the incremental
+        # path), and every outbuf channel of an inactive slot is
+        # keep-gated passthrough.
+        k_lo = 8
+        iota_lo = jax.lax.broadcasted_iota(jnp.int32, (1, k_lo, 1), 1)
+        iota_full = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
+
+        @pl.when(jcen <= k_lo)
+        def _pairs_one_tile():
+            ctr_lo = {n: a[:, :k_lo, :] for n, a in center.items()}
+            lo = jax.lax.fori_loop(
+                0, jmax, make_body(ctr_lo, iota_lo),
+                (accx[:, :k_lo, :], accy[:, :k_lo, :]))
+            acc_scr[:, :k_lo, 0, :] = lo[0]
+            acc_scr[:, :k_lo, 1, :] = lo[1]
+            # hi slots are all inactive here: pass the goal/obstacle
+            # term through so integrate sees finite values (keep-gated).
+            acc_scr[:, k_lo:, 0, :] = accx[:, k_lo:, :]
+            acc_scr[:, k_lo:, 1, :] = accy[:, k_lo:, :]
+
+        @pl.when(jcen > k_lo)
+        def _pairs_full():
+            full = jax.lax.fori_loop(
+                0, jmax, make_body(center, iota_full), (accx, accy))
+            acc_scr[:, :, 0, :] = full[0]
+            acc_scr[:, :, 1, :] = full[1]
+
+        accx = acc_scr[:, :, 0, :]
+        accy = acc_scr[:, :, 1, :]
 
     # --- integrate (sfm.rs:245-254), center rows only ---
     dt = phys.delta_time
@@ -687,7 +749,8 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
                       segments: tuple | None = None,
                       emit_movers: int = 0,
                       wp_mask: jnp.ndarray | None = None,
-                      wp_ring: int = 4) -> jnp.ndarray:
+                      wp_ring: int = 4,
+                      jcen: jnp.ndarray | None = None) -> jnp.ndarray:
     """Run the fused sample+forces+integrate kernel.
 
     d    [ny_pad+2, K, 8, NXL]  (NXL % 128 == 0, ny_pad % row_block == 0)
@@ -725,6 +788,13 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
     reference's host-RAM potential maps (field.rs:235-239).  Blocks
     wanting more than wp_ring planes serialize the extras' DMA behind
     sampling; typical destination-clustered blocks want 1-2.
+    jcen: optional [nb] i32 CENTER-row occupancy bound (max count-channel
+    value over each block's rb center rows, sfm_grid.occupancy_bounds)
+    — enables the pair-pass slot-split BRANCH: a block whose center
+    bound fits one sublane tile (<= 8) runs the pair loop on center
+    slots [0:8] only (0.58x); all others run the original unsplit loop.
+    Output bit-identical with or without (inactive slots are keep-gated
+    passthrough); ignored at K <= 8.
     Returns OUT [ny_pad+2, K, 8, NXL], ghost-carrying (rows 0 and
     ny_pad+1 zeroed).
     """
@@ -748,6 +818,10 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
         col_offset = jnp.zeros((1,), jnp.int32)
 
     wp_skip = wp_mask is not None and n_wp > 1
+    split = jcen is not None and k > 8
+    if split:
+        assert jcen.shape == (nb,) and jcen.dtype == jnp.int32, (
+            jcen.shape, jcen.dtype, nb)
     mk = emit_movers
     if wp_skip:
         wp_w = (n_wp + 30) // 31
@@ -763,12 +837,14 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
         phys=phys,
         grid_w=grid_size[0], grid_h=grid_size[1],
         stride=stride, inv_unit=1.0 / field_unit,
-        cell_unit=stride * field_unit, segments=segments,
+        cell_unit=stride * field_unit, segments=segments, split=split,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
-    in_specs = [smem, smem, smem] + ([smem] if wp_skip else []) + [any_] * 3
+    in_specs = ([smem, smem, smem] + ([smem] if split else [])
+                + ([smem] if wp_skip else []) + [any_] * 3)
     args = ((jmax, row_offset, col_offset)
+            + ((jcen,) if split else ())
             + ((wp_mask,) if wp_skip else ()) + (d, fwp, fobs))
     if mk:
         out_specs = [any_, any_,
@@ -793,6 +869,8 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
         pltpu.VMEM((rb + 2, k, nxl), jnp.float32),
         pltpu.VMEM((rb, k, 8, nxl), jnp.float32),
     ]
+    if split:
+        scratch.append(pltpu.VMEM((rb, k, 2, nxl), jnp.float32))
     if mk:
         scratch.append(pltpu.VMEM((rb, mk, 8, nxl), jnp.float32))
     if wp_skip:

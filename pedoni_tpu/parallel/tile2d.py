@@ -44,11 +44,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..field import FieldMaps
 from ..models.sfm import SimState, StepConfig, StepMetrics
-from ..models.sfm_grid import (
+from ..models.sfm_grid import (  # noqa: F401 (occupancy_bound re-export)
     GridState,
     assert_movement_fits_rebin,
     bin_state,
     occupancy_bound,
+    occupancy_bounds,
     spawn_scatter,
     unbin_state,
 )
@@ -197,7 +198,8 @@ def unbin_sharded(tcfg: Tile2DConfig, gs: GridState) -> SimState:
 
 def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh,
                       incremental: bool = True, mover_k: int = 8,
-                      compact_every: int = 8, wp_skip: bool = True):
+                      compact_every: int = 8, wp_skip: bool = True,
+                      wp_ring: int = 4, slot_split: bool = True):
     """Build the tiled step:
     (GridState, wp_slabs, obs_slabs) -> (GridState, StepMetrics).
 
@@ -258,7 +260,8 @@ def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh,
         return exchange_rows(exchange_cols(x))
 
     def _jmax(d_pad):
-        return occupancy_bound(d_pad, rb, nb, k)
+        jmax, jcen = occupancy_bounds(d_pad, rb, nb, k)
+        return jmax, (jcen if slot_split else None)
 
     def step_local(d_loc, k_spawn, step_idx, wp_slab, obs_slab):
         # d_loc [rl+2, K, 8, NXL_loc] ghost-carrying; slabs carry leading
@@ -279,7 +282,7 @@ def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh,
             n_spawned = jnp.int32(0)
             n_spawn_drop = jnp.int32(0)
 
-        jmax = _jmax(d_pad)
+        jmax, jcen = _jmax(d_pad)
         # The wanted-plane mask reads the EXCHANGED slab (ghost rows and
         # lanes hold neighbor agents whose planes this tile's kernel
         # windows sample too).
@@ -293,7 +296,7 @@ def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh,
                 row_offset=row_lo[None], col_offset=col_lo[None],
                 stride=stride_for(cfg), field_unit=cfg.field_unit,
                 segments=debug_segments(cfg), emit_movers=mk,
-                wp_mask=wpm,
+                wp_mask=wpm, wp_ring=wp_ring, jcen=jcen,
             )
         else:
             g = fused_step_kernel(
@@ -301,7 +304,8 @@ def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh,
                 row_block=rb, interpret=interpret, jmax=jmax,
                 row_offset=row_lo[None], col_offset=col_lo[None],
                 stride=stride_for(cfg), field_unit=cfg.field_unit,
-                segments=debug_segments(cfg), wp_mask=wpm,
+                segments=debug_segments(cfg), wp_mask=wpm, wp_ring=wp_ring,
+                jcen=jcen,
             )
         # Ghost-lane outputs are computed from incomplete windows and
         # discarded: active counts read owned lanes only, and the column

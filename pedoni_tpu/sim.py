@@ -322,19 +322,30 @@ class Simulator:
             time_calc_state=t.elapsed,
         )
 
-    def run(self, n_steps: int, sync_every: int = 0) -> StepRecord:
+    def run(self, n_steps: int, sync_every: int = 0,
+            guard_every: int = 4) -> StepRecord:
         """Advance ``n_steps`` without per-step host syncs (throughput
         mode): metrics accumulate ON DEVICE (sums; max of max_demand) and
         are fetched once at the end, so no step's counters are ever lost
         — the totals land in :attr:`last_run_metrics` and loss warnings
-        fire exactly as in tick().  ``sync_every`` > 0 adds periodic syncs
-        to bound the dispatch queue; at each sync point the grid backend
-        ALSO checks table saturation (peak cell demand >= K-1) and grows K
-        drop-free, and the flat backends check agent capacity (n_active >
-        80%) and double it — the same growth tick() applies — so long
-        throughput runs survive densification on every backend."""
+        fire exactly as in tick().
+
+        Capacity growth runs drop-free like tick() even with
+        ``sync_every=0``: every ``guard_every`` steps the LAGGED metrics
+        of the step ``guard_every`` dispatches ago are fetched (that step
+        has long resolved, so the fetch costs one tunnel round trip
+        without draining the dispatch queue) and tick()'s growth rules
+        apply — grid tables grow preemptively at peak demand >= K-1,
+        flat arrays double at 80% occupancy.  The lag means a cell
+        sprinting from below K-1 past K within ``guard_every`` steps
+        still falls to the counted reactive path, exactly tick()'s own
+        caveat; set ``guard_every=0`` to trade the guard away for zero
+        mid-run fetches.  ``sync_every`` > 0 additionally bounds the
+        dispatch queue with full syncs (the pre-round-5 growth hook
+        lived only here)."""
         totals = None
         metrics = None
+        pending: list = []  # metrics of the last guard_every steps
         with Timer() as t:
             for i in range(n_steps):
                 self.state, metrics = self._step(
@@ -344,6 +355,20 @@ class Simulator:
                 # dispatch stays async, nothing syncs until the end.
                 totals = metrics if totals is None \
                     else _accumulate_metrics(totals, metrics)
+                if guard_every:
+                    pending.append(metrics)
+                    if len(pending) > guard_every:
+                        pending.pop(0)
+                    if (i + 1) % guard_every == 0:
+                        old = pending[0]  # resolved guard_every-1 steps ago
+                        if self.options.backend == "grid":
+                            if (int(old.max_demand)
+                                    >= self.options.table_capacity - 1):
+                                self._grow_table(0)
+                                pending.clear()
+                        elif int(old.n_active) > 0.8 * self.cfg.capacity:
+                            self._grow()
+                            pending.clear()
                 if sync_every and (i + 1) % sync_every == 0:
                     if (self.options.backend == "grid"
                             and int(metrics.max_demand)

