@@ -41,7 +41,7 @@ from ..field import FieldMaps
 from ..ops import forcepass
 from ..ops.neighbor import compute_cell_ids
 from ..ops.pallas.rebin import rebin_incremental, rebin_kernel
-from ..ops.pallas.step_kernel import fused_step_kernel, waypoint_block_mask
+from ..ops.pallas.step_kernel import fused_step_kernel, waypoint_block_planes
 from .sfm import AgentState, SimState, StepConfig, StepMetrics, _spawn_candidates
 from .sfm_pallas import pallas_device_inputs, supports  # noqa: F401  (same limits)
 
@@ -259,7 +259,7 @@ def assert_movement_fits_rebin(cfg: StepConfig) -> None:
 
 def make_kernel_chain(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
                       incremental: bool = False, mover_k: int = 8,
-                      wp_skip: bool = True, wp_ring: int = 4,
+                      wp_skip: bool = True, wp_slots: int = 4,
                       slot_split: bool = True):
     """Kernels-only step (fused force kernel + rebin, no spawn/metrics):
     ``(d, fwp, fobs) -> d'``.  The measurement surface behind the
@@ -288,15 +288,15 @@ def make_kernel_chain(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
         jmax, jcen = occupancy_bounds(d, rb, nb, k)
         if not slot_split:
             jcen = None
-        wpm = (waypoint_block_mask(d, rb, fwp.shape[0]) if wp_skip
+        wpp = (waypoint_block_planes(d, rb, fwp.shape[0]) if wp_skip
                else None)
         if incremental:
             g, m, _movf, _mdmx = fused_step_kernel(
                 d, fwp, fobs, cfg.physics, cfg.scenario.size,
                 row_block=rb, interpret=interpret, jmax=jmax,
                 stride=stride, field_unit=cfg.field_unit,
-                segments=segs, emit_movers=mk, wp_mask=wpm, wp_ring=wp_ring,
-                jcen=jcen)
+                segments=segs, emit_movers=mk, wp_planes=wpp,
+                wp_slots=wp_slots, jcen=jcen)
             mmax = occupancy_bound(m, rb, nb, mk)
             d2, _ovf, _dmx = rebin_incremental(
                 g, m, cfg.grid.unit, cfg.grid.nx, cfg.grid.ny,
@@ -305,8 +305,8 @@ def make_kernel_chain(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
         g = fused_step_kernel(d, fwp, fobs, cfg.physics, cfg.scenario.size,
                               row_block=rb, interpret=interpret, jmax=jmax,
                               stride=stride, field_unit=cfg.field_unit,
-                              segments=segs, wp_mask=wpm, wp_ring=wp_ring,
-                              jcen=jcen)
+                              segments=segs, wp_planes=wpp,
+                              wp_slots=wp_slots, jcen=jcen)
         d2, _ovf, _dmx = rebin_kernel(g, cfg.grid.unit, cfg.grid.nx,
                                       cfg.grid.ny, row_block=rb,
                                       interpret=interpret, jmax=jmax)
@@ -318,7 +318,7 @@ def make_kernel_chain(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
 def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
                    incremental: bool = True, mover_k: int = 8,
                    compact_every: int = 8, wp_skip: bool = True,
-                   wp_ring: int = 4, slot_split: bool = True,
+                   wp_slots: int = 4, slot_split: bool = True,
                    wp_force_all: bool = False):
     """Build the grid-resident step:
     (GridState, fwp, fobs) -> (GridState, StepMetrics).
@@ -384,26 +384,22 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
         jmax, jcen = occupancy_bounds(d, rb, nb, k)
         if not slot_split:
             jcen = None
-        wpm = (waypoint_block_mask(d, rb, fwp.shape[0]) if wp_skip
-               else None)
-        if wp_force_all and wpm is not None:
-            # Attribution diagnostic (scripts/ab_wp_curve.py --decompose):
-            # run the full gated machinery but force every block to want
-            # EVERY plane — same sampling work as skip-off, so the delta
-            # vs skip-off isolates the pure gating overhead (scratch
-            # accumulate + per-plane branches) from the sampling saved.
-            n_wp = fwp.shape[0]
-            words = [jnp.int32((1 << min(31, n_wp - 31 * wd)) - 1)
-                     for wd in range((n_wp + 30) // 31)]
-            wpm = jnp.broadcast_to(jnp.stack(words)[None, :], wpm.shape)
+        # wp_force_all: attribution diagnostic (scripts/ab_wp_curve.py
+        # --decompose) — run the full slot-walk machinery but force every
+        # block to want EVERY plane: same sampling work as skip-off, so
+        # the delta vs skip-off isolates the pure gating overhead from
+        # the sampling saved.
+        wpp = (waypoint_block_planes(d, rb, fwp.shape[0],
+                                     force_all=wp_force_all)
+               if wp_skip else None)
         max_mover_demand = jnp.int32(0)
         if incremental:
             g, m, movf, mdmx = fused_step_kernel(
                 d, fwp, fobs, phys, cfg.scenario.size,
                 row_block=rb, interpret=interpret, jmax=jmax,
                 stride=stride, field_unit=cfg.field_unit,
-                segments=segs, emit_movers=mk, wp_mask=wpm, wp_ring=wp_ring,
-                jcen=jcen)
+                segments=segs, emit_movers=mk, wp_planes=wpp,
+                wp_slots=wp_slots, jcen=jcen)
             mmax = occupancy_bound(m, rb, nb, mk)
             need_full = (jnp.sum(movf) > 0.0) | (
                 jax.lax.rem(state.step, jnp.int32(compact_every)) == 0)
@@ -426,7 +422,8 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
                                   row_block=rb, interpret=interpret,
                                   jmax=jmax, stride=stride,
                                   field_unit=cfg.field_unit, segments=segs,
-                                  wp_mask=wpm, wp_ring=wp_ring, jcen=jcen)
+                                  wp_planes=wpp, wp_slots=wp_slots,
+                                  jcen=jcen)
             # Both kernels emit ghost-carrying arrays, so the rebin
             # consumes g directly and its output IS next step's state —
             # no XLA-side pad/clamp copies; overflow/demand ride out as

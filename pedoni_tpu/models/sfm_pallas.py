@@ -29,7 +29,7 @@ from ..field import FieldMaps
 from ..ops import forcepass
 from ..ops.neighbor import compute_cell_ids
 from ..ops.pallas.fields6 import Fields6
-from ..ops.pallas.step_kernel import fused_step_kernel, waypoint_block_mask
+from ..ops.pallas.step_kernel import fused_step_kernel, waypoint_block_planes
 from .sfm import AgentState, SimState, StepConfig, StepMetrics, _spawn_candidates
 
 PALLAS_UNIT = 1.5  # production neighbor unit (stride 6 at 0.25 m fields)
@@ -174,7 +174,7 @@ def make_step_pallas(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
                                 row_block=rb, interpret=interpret, jmax=win,
                                 stride=stride, field_unit=cfg.field_unit,
                                 segments=debug_segments(cfg),
-                                wp_mask=waypoint_block_mask(
+                                wp_planes=waypoint_block_planes(
                                     dk, rb, fwp.shape[0]))
         out = out[1:-1]  # drop the ghost-carrying rows (this flat path
         #                  pays XLA glue per step anyway; the grid backend

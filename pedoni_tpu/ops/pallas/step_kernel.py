@@ -169,30 +169,38 @@ def _kernel(jmax_ref, roff_ref, coff_ref, *rest, rb: int, k: int, mk: int,
     mk == 0, wp_skip False   the round-3 fused step (OUT alone)
     mk > 0                   incremental-rebin mode: channel 7 = stay
                              mask + compacted per-cell mover table M
-    wp_skip True             per-block waypoint-plane skip: plane p's
-                             DMA + sampling run only when the block's
-                             wanted-plane bitmask (SMEM, from
-                             waypoint_block_mask) has bit p set — the
-                             reference's O(1) maps-per-agent property
-                             (sfm.rs:107, field.rs:235-239) recovered
-                             per block instead of per agent.
+    wp_skip True             per-block waypoint-plane SLOT sampling:
+                             each block walks ONLY its wanted planes —
+                             a compacted per-block plane-index list
+                             (SMEM, from waypoint_block_planes) drives
+                             a dynamic-trip-count fori whose body DMAs
+                             + samples plane list[s] — the reference's
+                             O(1) maps-per-agent property (sfm.rs:107,
+                             field.rs:235-239) recovered per block with
+                             NO per-plane branches.  The round-4
+                             bitmask form gated 1 static branch pair
+                             per (plane, block) and measured ~0.44
+                             ms/step of machinery PER PLANE at 1M
+                             (ab_wp_curve --decompose, round 5); the
+                             slot walk's cost is O(wanted planes) with
+                             a W-independent constant.
 
-    ``ring`` (= n_wp without wp_skip) bounds the plane slab VMEM: plane
-    p lives in ring slot p % ring, so the footprint is O(min(n_wp,
-    ring)) instead of O(n_wp) — the reference keeps all potential maps
-    in host RAM at O(1) working set (field.rs:235-239); the ring is the
-    VMEM analog.  Slot reuse is safe by PROGRAM ORDER: the DMA for
-    plane p starts textually after plane p-ring's sampling, and every
-    earlier plane sharing slot p%ring sampled even earlier.  Blocks
-    wanting <= ring planes behave exactly as the unbounded build
-    (DMAs all prefetched); only denser blocks serialize extra planes."""
+    ``ring`` (= n_wp without wp_skip) bounds the plane slab VMEM: slot
+    rank s lives in ring slot s % ring, so the footprint is
+    O(min(n_wp, ring)) — the reference keeps all potential maps in host
+    RAM at O(1) working set (field.rs:235-239); the ring is the VMEM
+    analog.  Slot reuse is safe by LOOP ORDER: rank s + ring's DMA
+    starts at the bottom of rank s's loop iteration, after slot
+    s % ring's tenant finished sampling.  Blocks wanting <= ring planes
+    behave exactly as an unbounded build (all their slabs prefetched at
+    block entry); only denser blocks serialize extra planes."""
     idx = 0
     jcen_ref = None
     if split:
         jcen_ref, idx = rest[0], 1
-    want_ref = None
+    pidx_ref = pcnt_ref = None
     if wp_skip:
-        want_ref, idx = rest[idx], idx + 1
+        pidx_ref, pcnt_ref, idx = rest[idx], rest[idx + 1], idx + 2
     d_hbm, fwp_hbm, fobs_hbm, out_hbm = rest[idx : idx + 4]
     idx += 4
     if mk:
@@ -239,10 +247,10 @@ def _kernel(jmax_ref, roff_ref, coff_ref, *rest, rb: int, k: int, mk: int,
     # benches never take this path; sparse production grids (evacuation
     # endgames, localized crowds in large fields) skip the full window +
     # field-slab DMA and the per-row sampling pass for most blocks.
-    # The waypoint skip gates each plane's slab copy the same way (start
+    # The waypoint slot walk gates each slab copy the same way (start
     # and wait under the same target-block condition, so semaphores stay
-    # balanced); a skipped plane's VMEM slab holds stale bytes that the
-    # gated sampling pass never reads.
+    # balanced); an unused slab slot holds stale bytes that the slot
+    # loop never reads (trip count = this block's wanted-plane count).
     slot = jax.lax.rem(i, 2)
 
     def _base_copies(j, s):
@@ -260,33 +268,34 @@ def _kernel(jmax_ref, roff_ref, coff_ref, *rest, rb: int, k: int, mk: int,
                                       fwp2.at[s], sems.at[s, 1]))
         return cs
 
-    def _plane_copy(j, s, p):
+    def _slab_copy(j, s, rm, plane):
+        # Slab for wanted-plane RANK r (r % ring == rm) of block j:
+        # HBM plane ``plane`` (dynamic scalar from the SMEM list) ->
+        # VMEM ring slot rm of buffer s.  rm/plane may be traced scalars
+        # (in-loop serialization) or Python ints (block-entry prefetch);
+        # descriptors are recreated at wait time with the same values.
         flen = fwp2.shape[2]
         fstart = j * (stride * rb) + ROW0
         return pltpu.make_async_copy(
-            fwp_hbm.at[p, pl.ds(fstart, flen)], fwp2.at[s, p % ring],
-            wsems.at[s, p % ring])
-
-    def _plane_bit(jc, p):
-        # jc must be a CLAMPED block index (like the jmax_ref[nxt] read):
-        # the value only matters when the surrounding condition is true.
-        return ((want_ref[jc, p // 31] >> (p % 31)) & 1) > 0
+            fwp_hbm.at[pl.ds(plane, 1), pl.ds(fstart, flen)],
+            fwp2.at[s, pl.ds(rm, 1)], wsems.at[s, rm])
 
     def _move_inputs(cond, j, jc, s, op):
         @pl.when(cond)
         def _base():
             for c in _base_copies(j, s):
                 getattr(c, op)()
-        # Plane STARTS for the first ring's worth of plane indices only;
-        # planes >= ring start inside the sampling loop (after the slot's
-        # previous tenant finished) and every plane's WAIT sits at its
-        # sampling site (_compute), under the same want-bit condition —
-        # semaphores stay balanced start-to-wait.
+        # Slab STARTS for the first ring's worth of wanted ranks only;
+        # ranks >= ring start inside the slot loop (after the ring
+        # slot's previous tenant finished) and every rank's WAIT sits at
+        # its sampling site (_compute), under the same rank < cnt
+        # condition — semaphores stay balanced start-to-wait.
         if wp_skip and op == "start":
-            for p in range(ring):
-                @pl.when(cond & _plane_bit(jc, p))
-                def _plane(p=p):
-                    _plane_copy(j, s, p).start()
+            cnt = pcnt_ref[jc]
+            for r in range(ring):
+                @pl.when(cond & (r < cnt))
+                def _slab(r=r):
+                    _slab_copy(j, s, r, pidx_ref[jc, r]).start()
 
     zero = jnp.int32(0)
     _move_inputs((i == 0) & (jmax > 0), zero, zero, 0, "start")
@@ -310,9 +319,9 @@ def _kernel(jmax_ref, roff_ref, coff_ref, *rest, rb: int, k: int, mk: int,
     def _compute_block():
         wp_gate = None
         if wp_skip:
-            wp_gate = (want_ref, *wp_scr,
-                       lambda p: _plane_copy(i, slot, p).wait(),
-                       lambda p: _plane_copy(i, slot, p).start())
+            wp_gate = (pidx_ref, pcnt_ref, *wp_scr,
+                       lambda rm, p: _slab_copy(i, slot, rm, p).wait(),
+                       lambda rm, p: _slab_copy(i, slot, rm, p).start())
         _compute(i, jmax, roff_ref, coff_ref, window2.at[slot],
                  fwp2.at[slot], fobs2.at[slot], act_scr, outbuf, rb=rb,
                  k=k, n_wp=n_wp, ring=ring, phys=phys, grid_w=grid_w,
@@ -403,68 +412,70 @@ def _compute(i, jmax, roff_ref, coff_ref, window, fwp, fobs, act_scr,
     # the destination plane — gradients, the obstacle plane and the force
     # terms are center-row-only work.
     if wp_gate is not None:
-        # Waypoint-plane skip: plane-major gated sampling.  Each plane's
-        # 64-tap pass runs only when this block's wanted-plane bit is set
-        # (any active agent in the rb+2-row window has dest == plane, by
-        # waypoint_block_mask construction), accumulating into VMEM
-        # scratch the per-row pass below then reads.  Tap coords are
-        # recomputed per (plane, row) — ~10 elem-ops vs the ~400 of a
-        # sampled plane-row, and only for planes actually present.
+        # Waypoint-plane SLOT walk: a dynamic-trip-count fori over this
+        # block's wanted planes (compacted index list in SMEM, built by
+        # waypoint_block_planes — any active agent in the rb+2-row
+        # window has dest == list[s] for exactly one s).  The body DMAs
+        # + samples ONE plane, accumulating into VMEM scratch the
+        # per-row pass below then reads.  Tap coords are recomputed per
+        # (slot, row) — ~10 elem-ops vs the ~400 of a sampled plane-row.
         # Accumulation via where(sel, v, acc) is exact: each agent has
-        # ONE dest, so exactly one plane writes each lane.
-        want_ref, pot_scr, gx_scr, gy_scr, wait_plane, start_plane = wp_gate
+        # ONE dest, so exactly one slot writes each lane.  vs the
+        # round-4 per-plane bitmask branches: zero branches here, cost
+        # O(wanted) with a W-independent constant (the branch pair per
+        # (plane, block) measured ~0.44 ms/step per plane at 1M —
+        # ab_wp_curve --decompose, round-5 ledger).
+        pidx_ref, pcnt_ref, pot_scr, gx_scr, gy_scr, wait_slab, start_slab \
+            = wp_gate
         for w in range(rb + 2):
             pot_scr[w] = jnp.zeros_like(pot_scr[w])
             if 1 <= w <= rb:
                 gx_scr[w - 1] = jnp.zeros_like(gx_scr[w - 1])
                 gy_scr[w - 1] = jnp.zeros_like(gy_scr[w - 1])
+        cnt = pcnt_ref[i]
 
-        def _bit(p):
-            return ((want_ref[i, p // 31] >> (p % 31)) & 1) > 0
+        def _slot_body(s, carry):
+            rm = jax.lax.rem(s, ring)
+            plane = pidx_ref[i, s]
+            # Wait rank s's slab (started by the block-entry prefetch
+            # for s < ring, or by iteration s - ring below).
+            wait_slab(rm, plane)
+            planef = plane.astype(jnp.float32)
+            for w in range(rb + 2):
+                is_center = 1 <= w <= rb
+                posx = window[w, :, 0, :]
+                posy = window[w, :, 1, :]
+                dest = window[w, :, 5, :]
+                px = posx * inv_unit - 0.5 + FPAD
+                py = posy * inv_unit - 0.5 + FPAD
+                bx = jnp.floor(px)
+                by = jnp.floor(py)
+                tx = px - bx
+                ty = py - by
+                p0 = bx - (lane - 1.0) * stride - ROW0
+                q0 = by - (r0 - 1.0 + w) * stride - ROW0
+                base_row = stride * w
+                sel = dest == planef
+                if is_center:
+                    v0, v1, v2 = _sample_row(fwp.at[rm], base_row, q0,
+                                             p0, tx, ty, stride=stride)
+                    gx_scr[w - 1] = jnp.where(sel, v1, gx_scr[w - 1])
+                    gy_scr[w - 1] = jnp.where(sel, v2, gy_scr[w - 1])
+                else:
+                    (v0,) = _sample_row(fwp.at[rm], base_row, q0, p0,
+                                        tx, ty, channels=(0,),
+                                        stride=stride)
+                pot_scr[w] = jnp.where(sel, v0, pot_scr[w])
 
-        for plane in range(n_wp):
-            @pl.when(_bit(plane))
-            def _sample_plane(plane=plane):
-                # Wait the plane's slab here (its start is either the
-                # block-entry prefetch for plane < ring, or the
-                # _start_next of plane - ring below).
-                wait_plane(plane)
-                for w in range(rb + 2):
-                    is_center = 1 <= w <= rb
-                    posx = window[w, :, 0, :]
-                    posy = window[w, :, 1, :]
-                    dest = window[w, :, 5, :]
-                    px = posx * inv_unit - 0.5 + FPAD
-                    py = posy * inv_unit - 0.5 + FPAD
-                    bx = jnp.floor(px)
-                    by = jnp.floor(py)
-                    tx = px - bx
-                    ty = py - by
-                    p0 = bx - (lane - 1.0) * stride - ROW0
-                    q0 = by - (r0 - 1.0 + w) * stride - ROW0
-                    base_row = stride * w
-                    sel = dest == plane
-                    if is_center:
-                        v0, v1, v2 = _sample_row(fwp.at[plane % ring],
-                                                 base_row, q0, p0, tx, ty,
-                                                 stride=stride)
-                        gx_scr[w - 1] = jnp.where(sel, v1, gx_scr[w - 1])
-                        gy_scr[w - 1] = jnp.where(sel, v2, gy_scr[w - 1])
-                    else:
-                        (v0,) = _sample_row(fwp.at[plane % ring], base_row,
-                                            q0, p0, tx, ty, channels=(0,),
-                                            stride=stride)
-                    pot_scr[w] = jnp.where(sel, v0, pot_scr[w])
+            # Ring slot rm is now free: start rank s + ring's slab (its
+            # wait sits at iteration s + ring's top — balanced, and only
+            # reached when s + ring < cnt).
+            @pl.when(s + ring < cnt)
+            def _start_next():
+                start_slab(rm, pidx_ref[i, s + ring])
+            return carry
 
-            # Ring slot plane % ring is now free to receive its next
-            # tenant: start plane + ring's DMA (if that plane is wanted).
-            # Program order guarantees every earlier plane sharing the
-            # slot has finished sampling, whether or not THIS plane was
-            # wanted — the start sits textually after its sampling site.
-            if plane + ring < n_wp:
-                @pl.when(_bit(plane + ring))
-                def _start_next(p2=plane + ring):
-                    start_plane(p2)
+        jax.lax.fori_loop(0, cnt, _slot_body, 0)
 
     exs, eys, acts, accfx, accfy, pots = [], [], [], [], [], []
     for w in range(rb + 2):
@@ -748,8 +759,8 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
                       field_unit: float = 0.25,
                       segments: tuple | None = None,
                       emit_movers: int = 0,
-                      wp_mask: jnp.ndarray | None = None,
-                      wp_ring: int = 4,
+                      wp_planes: tuple | None = None,
+                      wp_slots: int = 4,
                       jcen: jnp.ndarray | None = None) -> jnp.ndarray:
     """Run the fused sample+forces+integrate kernel.
 
@@ -777,16 +788,17 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
     (OUT, M [ny_pad+2, MK, 8, NXL] compacted per-cell mover table with
     ch 7 = mover count, movf [nb] table-overflow counts, mdmx [nb] peak
     mover demand) — the inputs of ops/pallas/rebin.rebin_incremental.
-    wp_mask: optional [nb, ceil(n_wp/31)] i32 wanted-plane bitmask from
-    ``waypoint_block_mask`` — enables the per-block waypoint-plane skip
-    (each plane's slab DMA + sampling pass runs only for blocks whose
-    window holds an agent bound for it).  None or n_wp == 1 leaves the
-    kernel byte-identical to the ungated build.
-    wp_ring: plane slab ring size under wp_skip — VMEM holds at most
-    min(n_wp, wp_ring) plane slabs per buffer (plane p in slot
-    p % wp_ring), so the footprint is O(1) in waypoint count like the
-    reference's host-RAM potential maps (field.rs:235-239).  Blocks
-    wanting more than wp_ring planes serialize the extras' DMA behind
+    wp_planes: optional (idx [nb, n_wp] i32, cnt [nb] i32) from
+    ``waypoint_block_planes`` — enables the per-block waypoint-plane
+    slot walk (each block DMAs + samples ONLY the cnt[b] planes in its
+    compacted wanted list, via a dynamic-trip fori — no per-plane
+    branches).  None or n_wp == 1 leaves the kernel byte-identical to
+    the ungated build.
+    wp_slots: plane slab ring size under the slot walk — VMEM holds at
+    most min(n_wp, wp_slots) plane slabs per buffer (wanted rank s in
+    slot s % wp_slots), so the footprint is O(1) in waypoint count like
+    the reference's host-RAM potential maps (field.rs:235-239).  Blocks
+    wanting more than wp_slots planes serialize the extras' DMA behind
     sampling; typical destination-clustered blocks want 1-2.
     jcen: optional [nb] i32 CENTER-row occupancy bound (max count-channel
     value over each block's rb center rows, sfm_grid.occupancy_bounds)
@@ -817,20 +829,22 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
     if col_offset is None:
         col_offset = jnp.zeros((1,), jnp.int32)
 
-    wp_skip = wp_mask is not None and n_wp > 1
+    wp_skip = wp_planes is not None and n_wp > 1
     split = jcen is not None and k > 8
     if split:
         assert jcen.shape == (nb,) and jcen.dtype == jnp.int32, (
             jcen.shape, jcen.dtype, nb)
     mk = emit_movers
     if wp_skip:
-        wp_w = (n_wp + 30) // 31
-        assert wp_mask.shape == (nb, wp_w) and wp_mask.dtype == jnp.int32, (
-            wp_mask.shape, wp_mask.dtype, (nb, wp_w))
-    # Without the skip every plane is one slab DMA with its own resident
-    # buffer (ring == n_wp keeps plane % ring == plane); with it the ring
-    # caps residency at wp_ring slabs.
-    ring = min(n_wp, max(1, wp_ring)) if wp_skip else n_wp
+        wp_idx, wp_cnt = wp_planes
+        assert wp_idx.shape == (nb, n_wp) and wp_idx.dtype == jnp.int32, (
+            wp_idx.shape, wp_idx.dtype, (nb, n_wp))
+        assert wp_cnt.shape == (nb,) and wp_cnt.dtype == jnp.int32, (
+            wp_cnt.shape, wp_cnt.dtype, nb)
+    # Without the slot walk every plane is one slab DMA with its own
+    # resident buffer (ring == n_wp); with it the ring caps residency at
+    # wp_slots slabs.
+    ring = min(n_wp, max(1, wp_slots)) if wp_skip else n_wp
 
     kernel = functools.partial(
         _kernel, rb=rb, k=k, mk=mk, wp_skip=wp_skip, n_wp=n_wp, ring=ring,
@@ -842,10 +856,10 @@ def fused_step_kernel(d: jnp.ndarray, fwp: jnp.ndarray, fobs: jnp.ndarray,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = ([smem, smem, smem] + ([smem] if split else [])
-                + ([smem] if wp_skip else []) + [any_] * 3)
+                + ([smem, smem] if wp_skip else []) + [any_] * 3)
     args = ((jmax, row_offset, col_offset)
             + ((jcen,) if split else ())
-            + ((wp_mask,) if wp_skip else ()) + (d, fwp, fobs))
+            + ((wp_idx, wp_cnt) if wp_skip else ()) + (d, fwp, fobs))
     if mk:
         out_specs = [any_, any_,
                      pl.BlockSpec((nb,), lambda i: (0,),
@@ -936,3 +950,41 @@ def waypoint_block_mask(d: jnp.ndarray, row_block: int,
                                       (off + (nb - 1) * rb + 1,), (rb,))
         words.append(blk)
     return jnp.stack(words, axis=1)  # [nb, ceil(n_wp/31)]
+
+
+def waypoint_block_planes(d: jnp.ndarray, row_block: int, n_wp: int,
+                          force_all: bool = False
+                          ) -> tuple[jnp.ndarray, jnp.ndarray] | None:
+    """Per-block compacted wanted-plane lists for the slot walk.
+
+    Returns (idx [nb, n_wp] i32, cnt [nb] i32): idx[b, :cnt[b]] are the
+    ascending plane ids some ACTIVE agent in block b's (rb+2)-row window
+    is bound for; entries past cnt[b] are zero-padded and never read
+    (the kernel's slot fori trips exactly cnt[b] times).  None at
+    n_wp <= 1 (the gate is statically off — the single plane is sampled
+    unconditionally, bit-identical to the ungated kernel).
+
+    The wanted bits come from waypoint_block_mask (one O(grid) pass per
+    31 planes, no index ops); the unpack/compact below is O(nb · n_wp²)
+    on ~100-element rows — microseconds.  ``force_all`` builds the
+    attribution arm (every block wants every plane — same sampling work
+    as skip-off through the gated machinery; ab_wp_curve --decompose).
+    """
+    if n_wp <= 1:
+        return None
+    if force_all:
+        nb = (d.shape[0] - 2) // row_block
+        return (jnp.broadcast_to(jnp.arange(n_wp, dtype=jnp.int32),
+                                 (nb, n_wp)),
+                jnp.full((nb,), n_wp, jnp.int32))
+    words = waypoint_block_mask(d, row_block, n_wp)  # [nb, ceil(n_wp/31)]
+    planes = jnp.arange(n_wp, dtype=jnp.int32)
+    wanted = (jax.lax.shift_right_logical(
+        words[:, planes // 31], (planes % 31)[None, :]) & 1)  # [nb, n_wp]
+    cnt = jnp.sum(wanted, axis=1, dtype=jnp.int32)
+    rank = jnp.cumsum(wanted, axis=1, dtype=jnp.int32) - 1  # [nb, n_wp]
+    # idx[b, s] = the plane with rank s: one-hot contraction over p.
+    hit = (wanted[:, None, :] > 0) & (rank[:, None, :] == planes[None, :, None])
+    idx = jnp.sum(jnp.where(hit, planes[None, None, :], 0),
+                  axis=2, dtype=jnp.int32)  # [nb, n_wp]
+    return idx, cnt

@@ -56,7 +56,7 @@ from ..models.sfm_grid import (  # noqa: F401 (occupancy_bound re-export)
 from ..models.sfm_pallas import debug_segments, stride_for, supports
 from ..ops.pallas.fields6 import ROW0, Fields6
 from ..ops.pallas.rebin import rebin_incremental, rebin_kernel
-from ..ops.pallas.step_kernel import fused_step_kernel, waypoint_block_mask
+from ..ops.pallas.step_kernel import fused_step_kernel, waypoint_block_planes
 
 ROW_AXIS = "row"
 COL_AXIS = "col"
@@ -199,7 +199,7 @@ def unbin_sharded(tcfg: Tile2DConfig, gs: GridState) -> SimState:
 def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh,
                       incremental: bool = True, mover_k: int = 8,
                       compact_every: int = 8, wp_skip: bool = True,
-                      wp_ring: int = 4, slot_split: bool = True):
+                      wp_slots: int = 4, slot_split: bool = True):
     """Build the tiled step:
     (GridState, wp_slabs, obs_slabs) -> (GridState, StepMetrics).
 
@@ -283,10 +283,10 @@ def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh,
             n_spawn_drop = jnp.int32(0)
 
         jmax, jcen = _jmax(d_pad)
-        # The wanted-plane mask reads the EXCHANGED slab (ghost rows and
-        # lanes hold neighbor agents whose planes this tile's kernel
+        # The wanted-plane lists read the EXCHANGED slab (ghost rows
+        # and lanes hold neighbor agents whose planes this tile's kernel
         # windows sample too).
-        wpm = (waypoint_block_mask(d_pad, rb, wp_slab.shape[0])
+        wpp = (waypoint_block_planes(d_pad, rb, wp_slab.shape[0])
                if wp_skip else None)
         max_mover_demand = jnp.int32(0)
         if incremental:
@@ -296,7 +296,7 @@ def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh,
                 row_offset=row_lo[None], col_offset=col_lo[None],
                 stride=stride_for(cfg), field_unit=cfg.field_unit,
                 segments=debug_segments(cfg), emit_movers=mk,
-                wp_mask=wpm, wp_ring=wp_ring, jcen=jcen,
+                wp_planes=wpp, wp_slots=wp_slots, jcen=jcen,
             )
         else:
             g = fused_step_kernel(
@@ -304,8 +304,8 @@ def make_sharded_step(tcfg: Tile2DConfig, mesh: Mesh,
                 row_block=rb, interpret=interpret, jmax=jmax,
                 row_offset=row_lo[None], col_offset=col_lo[None],
                 stride=stride_for(cfg), field_unit=cfg.field_unit,
-                segments=debug_segments(cfg), wp_mask=wpm, wp_ring=wp_ring,
-                jcen=jcen,
+                segments=debug_segments(cfg), wp_planes=wpp,
+                wp_slots=wp_slots, jcen=jcen,
             )
         # Ghost-lane outputs are computed from incomplete windows and
         # discarded: active counts read owned lanes only, and the column

@@ -72,19 +72,28 @@ class SimulatorOptions:
     n_devices: int = 1  # >1 = spatial sharding (grid backend only)
     tile: tuple[int, int] | None = None  # (rows, cols) 2D device tiling;
     #                        None = row strips (rows = n_devices, cols = 1)
-    # Incremental (hole-preserving) rebin on the single-device grid
-    # backend: ~90% of agents do not change cell per step, so the rebin
-    # walks only the compacted mover table on non-compaction steps.
-    # compact_every=8 is the measured winner of the round-4 cadence
-    # sweep (scripts/ab_incremental_rebin.py --cadence 4 6 8, 1M agents,
+    # Incremental (hole-preserving) rebin on the grid backend: ~90% of
+    # agents do not change cell per step, so the rebin walks only the
+    # compacted mover table on non-compaction steps.  compact_every=8
+    # is the measured winner of the round-4 cadence sweep
+    # (scripts/ab_incremental_rebin.py --cadence 4 6 8, 1M agents,
     # alternating on-hardware windows: full 13.57 / hybrid4 12.53 /
     # hybrid6 12.41 / hybrid8 12.37 ms/step — the curve flattens past 6
     # as the amortized full-rebin share vanishes).  Never compacting
-    # LOSES (holes freeze the occupancy bound the O(jmax) pair pass
-    # runs to; see make_step_grid's docstring).
+    # LOSES long-run (holes freeze the occupancy bound the O(jmax) pair
+    # pass runs to; see make_step_grid's docstring).
+    # DENSITY MATTERS (round-5 sweep, same script, --density 0.5/1.0/
+    # 2.5/5.0 at matched table capacities): the hybrid wins at bench
+    # occupancy (lambda = 5.6) but the FULL rebin wins 1.13x at sparse
+    # occupancy (lambda ~ 1.1, K = 8) — the mover-walk saving shrinks
+    # with lambda while hole-driven occupancy-bound inflation hurts
+    # proportionally more on one-sublane-tile tables.  None (default) =
+    # auto: incremental iff the scenario's expected cell occupancy
+    # lambda = E[agents]/area * unit^2 >= 1.75 (the measured crossover
+    # lies between the 1.1 loss and the 2.25 win).
     # mover_capacity = mover-table slots per cell (grown preemptively
     # like table_capacity).
-    incremental_rebin: bool = True
+    incremental_rebin: bool | None = None
     mover_capacity: int = 8
     compact_every: int = 8
     # Per-block waypoint-plane skip (multi-waypoint scenarios; statically
@@ -175,6 +184,25 @@ class Simulator:
             cap *= 2
         return cap
 
+    def _resolve_incremental(self) -> bool:
+        """incremental_rebin=None -> auto by expected cell occupancy.
+
+        Round-5 density sweep (scripts/ab_incremental_rebin.py,
+        on-hardware alternating windows at matched table capacities):
+        the hole-preserving rebin family wins at lambda >= 2.25 but the
+        FULL rebin wins 1.13x at lambda ~ 1.1 — sparse tables pay the
+        hole-driven occupancy-bound inflation without the mover-walk
+        saving.  Threshold 1.75 = midpoint of the measured bracket."""
+        o = self.options
+        if o.incremental_rebin is not None:
+            return o.incremental_rebin
+        n_once = sum(g.spawn.count for g in self.scenario.once_groups)
+        rate = sum(g.spawn.frequency for g in self.scenario.periodic_groups)
+        est_n = n_once + rate * 60
+        w, h = self.scenario.size
+        lam = est_n / max(w * h, 1e-9) * o.neighbor_grid_unit ** 2
+        return lam >= 1.75
+
     def _build(self, capacity: int) -> None:
         o = self.options
         self._mesh = None
@@ -222,7 +250,7 @@ class Simulator:
                 self._step = jax.jit(
                     tile2d.make_sharded_step(
                         self._tcfg, self._mesh,
-                        incremental=o.incremental_rebin,
+                        incremental=self._resolve_incremental(),
                         mover_k=o.mover_capacity,
                         compact_every=o.compact_every,
                         wp_skip=o.wp_skip))
@@ -235,7 +263,7 @@ class Simulator:
                 if o.backend == "grid":
                     self._step = jax.jit(sfm_grid.make_step_grid(
                         self.cfg, self.maps, row_block=o.row_block,
-                        incremental=o.incremental_rebin,
+                        incremental=self._resolve_incremental(),
                         mover_k=o.mover_capacity,
                         compact_every=o.compact_every,
                         wp_skip=o.wp_skip))
@@ -460,7 +488,7 @@ class Simulator:
         if getattr(self, "_kernel_chain", None) is None:
             self._kernel_chain = jax.jit(sfm_grid.make_kernel_chain(
                 self.cfg, self.maps, row_block=self.options.row_block,
-                incremental=self.options.incremental_rebin,
+                incremental=self._resolve_incremental(),
                 mover_k=self.options.mover_capacity,
                 wp_skip=self.options.wp_skip))
         d = self._kernel_chain(self.state.d, self._field_rows,

@@ -75,9 +75,9 @@ def main() -> int:
     for n in args.chips:
         per_chip = args.total // n
         ms[n] = measure_tiled(per_chip, args.steps, args.windows)
-        rate = per_chip / ms[n] / 1e3  # k agent-steps/ms -> M/s
+        rate = per_chip / ms[n] * 1e3 / 1e6  # agents/ms -> M agent-steps/s
         print(f"# per-chip {per_chip}: {ms[n]:.2f} ms/step "
-              f"= {rate / 1e3:.1f}M agent-steps/s/chip", flush=True)
+              f"= {rate:.1f}M agent-steps/s/chip", flush=True)
 
     sol_ms_1m = args.total / 330e6 * 1000  # ROOFLINE speed of light
     print("\n| N chips | per-chip agents | ms/step (tiled, measured) | "
@@ -85,9 +85,8 @@ def main() -> int:
     print("|---|---|---|---|---|")
     for n in args.chips:
         per_chip = args.total // n
-        strong = args.total / ms[n] / 1e3 / 1e3  # M/s
-        weak = n * args.total / ms[args.chips[0]] / 1e3 / 1e3 if n in ms else 0
-        weak = n * args.total / ms[1] / 1e3 / 1e3
+        strong = args.total / ms[n] * 1e3 / 1e6  # M/s
+        weak = n * args.total / ms[1] * 1e3 / 1e6
         print(f"| {n} | {per_chip} | {ms[n]:.2f} | {strong:.0f}M/s | "
               f"{weak:.0f}M/s |")
     chips_now = 1e9 * ms[1] / 1000 / args.total

@@ -198,22 +198,24 @@ width = 1
               f"{type(e).__name__}: {e}", file=sys.stderr)
         return 1
 
-    # Waypoint-plane skip on hardware: gated sampling + per-plane DMA
-    # must be bit-exact on active slots vs the ungated kernel (inactive
-    # slots may differ in channel 7 — ungated samples planes for garbage
-    # positions; no consumer reads them).
+    # Waypoint-plane slot walk on hardware: the dynamic wanted-plane
+    # fori (rank-indexed slab DMA) must be bit-exact on active slots vs
+    # the ungated kernel (inactive slots may differ in channel 7 —
+    # ungated samples planes for garbage positions; no consumer reads
+    # them).  wp_slots=2 with 3 planes also exercises the serialization
+    # wrap on hardware.
     try:
-        from pedoni_tpu.ops.pallas.step_kernel import waypoint_block_mask
+        from pedoni_tpu.ops.pallas.step_kernel import waypoint_block_planes
 
         dg = sfm_grid.bin_state(cfg, state0).d
-        wpm = waypoint_block_mask(dg, 2, int(fwp.shape[0]))
+        wpp = waypoint_block_planes(dg, 2, int(fwp.shape[0]))
         g_off = np.asarray(fused_step_kernel(
             dg, fwp, fobs, cfg.physics, sc.size, row_block=2,
             stride=sfm_pallas.stride_for(cfg), field_unit=cfg.field_unit))
         g_on = np.asarray(fused_step_kernel(
             dg, fwp, fobs, cfg.physics, sc.size, row_block=2,
             stride=sfm_pallas.stride_for(cfg), field_unit=cfg.field_unit,
-            wp_mask=wpm))
+            wp_planes=wpp, wp_slots=2))
         act_m = g_off[:, :, 6, :] > 0.5
         if not all((g_on[:, :, c, :][act_m] == g_off[:, :, c, :][act_m]).all()
                    for c in range(8)):

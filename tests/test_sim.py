@@ -366,3 +366,20 @@ def test_measure_spawn_time_slot():
 
     xla = make_sim(STRAIGHT, seed=2)
     assert xla.measure_spawn_time() is None
+
+
+def test_incremental_rebin_auto_rule():
+    """incremental_rebin=None resolves by expected cell occupancy
+    (round-5 density sweep: full rebin wins at lambda ~ 1.1, the
+    incremental family at lambda >= 2.25; threshold 1.75).  Explicit
+    settings always win over the auto rule."""
+    # NARROW_GAP: 30 agents on 20x20 m -> lambda = 30/400 * 2.25 ~ 0.17
+    sparse = make_sim(NARROW_GAP, backend="grid")
+    assert sparse._resolve_incremental() is False
+    # Dense variant: 1200 agents on 20x20 m -> lambda ~ 6.75
+    dense_toml = NARROW_GAP.replace("count = 30", "count = 1200")
+    dense = Simulator(SimulatorOptions(backend="grid", table_capacity=18),
+                      loads_scenario(dense_toml))
+    assert dense._resolve_incremental() is True
+    forced = make_sim(NARROW_GAP, backend="grid", incremental_rebin=True)
+    assert forced._resolve_incremental() is True

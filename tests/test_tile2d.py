@@ -228,16 +228,16 @@ line = [[9, 6], [10, 6]]
 
 
 def test_tiled_wp_ring_serialize_equals_single_chip():
-    """5 waypoint planes through a 2-slot plane ring on 2x2 tiles
+    """5 waypoint planes through a 2-slab slot ring on 2x2 tiles
     (VERDICT round-4 weak #5): agents bound for 5 different destinations
     are mixed everywhere, so kernel blocks want 3+ planes and take the
-    serialize-extra-planes branch of the ring (step_kernel wp_ring wrap)
+    serialize-extra-ranks wrap of the slot walk (step_kernel wp_slots)
     under BOTH row_offset and col_offset slab addressing — the result
-    must match the single-chip step at the SAME ring setting."""
+    must match the single-chip step at the SAME slot setting."""
     maps, cfg, state0 = _setup(n=120, seed=3, toml=SCENARIO_5WP, n_dest=5)
-    want, m1 = _run_single(maps, cfg, state0, n_steps=3, wp_ring=2)
+    want, m1 = _run_single(maps, cfg, state0, n_steps=3, wp_slots=2)
     got, mn = _run_tiled(maps, cfg, state0, n_steps=3, rows=2, cols=2,
-                         wp_ring=2)
+                         wp_slots=2)
     assert int(mn.n_active) == int(m1.n_active)
     assert int(mn.n_spawned) == int(m1.n_spawned)
     a, b = _active_set(want.agents), _active_set(got.agents)

@@ -1,14 +1,17 @@
-"""Per-block waypoint-plane skip (round-4 VERDICT ask #2).
+"""Per-block waypoint-plane slot walk (round-4 VERDICT ask #2, slot form
+round 5).
 
 The reference samples exactly one potential map per agent (sfm.rs:107,
 field.rs:235-239) — O(1) in waypoint count; the fused kernel samples
-every plane per block and selects.  ``waypoint_block_mask`` + the
-kernel's gated plane DMA/sampling restore the asymptotics at block
-granularity.  Gating must be a pure optimization: active slots of the
-gated kernel are BIT-identical to the ungated kernel (inactive slots may
-carry different channel-7 garbage — the ungated build samples planes for
-garbage positions, the gated one leaves zeros — and no consumer reads
-them: the rebin recomputes cells from positions and drops inactives).
+every plane per block and selects.  ``waypoint_block_planes`` + the
+kernel's dynamic slot walk (a fori over each block's compacted
+wanted-plane list) restore the asymptotics at block granularity with no
+per-plane branches.  Gating must be a pure optimization: active slots of
+the gated kernel are BIT-identical to the ungated kernel (inactive slots
+may carry different channel-7 garbage — the ungated build samples planes
+for garbage positions, the gated one leaves zeros — and no consumer
+reads them: the rebin recomputes cells from positions and drops
+inactives).
 """
 
 import jax.numpy as jnp
@@ -18,7 +21,8 @@ from pedoni_tpu.field import Field, FieldMaps
 from pedoni_tpu.ops.neighbor import CellGrid
 from pedoni_tpu.ops.pallas.fields6 import Fields6
 from pedoni_tpu.ops.pallas.step_kernel import (fused_step_kernel,
-                                               waypoint_block_mask)
+                                               waypoint_block_mask,
+                                               waypoint_block_planes)
 from pedoni_tpu.physics import Physics
 from pedoni_tpu.scenario import loads_scenario
 
@@ -67,6 +71,32 @@ def test_waypoint_block_mask_matches_numpy():
     assert waypoint_block_mask(jnp.asarray(d), rb, 1) is None
 
 
+def test_waypoint_block_planes_matches_numpy():
+    """idx[b, :cnt[b]] = ascending wanted plane ids; zero-padded past
+    cnt; force_all = every block wants every plane."""
+    rng = np.random.default_rng(11)
+    ny, k, nxl, rb, n_wp = 10, 4, 128, 2, 40
+    d = np.zeros((ny + 2, k, 8, nxl), np.float32)
+    d[:, :, 5, :] = rng.integers(0, n_wp, (ny + 2, k, nxl))
+    d[:, :, 6, :] = rng.random((ny + 2, k, nxl)) < 0.1
+    d[0] = d[-1] = 0.0
+    idx, cnt = waypoint_block_planes(jnp.asarray(d), rb, n_wp)
+    idx, cnt = np.asarray(idx), np.asarray(cnt)
+    mask = _numpy_mask(d, rb, n_wp)
+    nb = mask.shape[0]
+    for b in range(nb):
+        want = [p for p in range(n_wp) if mask[b, p // 31] >> (p % 31) & 1]
+        assert cnt[b] == len(want)
+        np.testing.assert_array_equal(idx[b, : cnt[b]], want)
+        np.testing.assert_array_equal(idx[b, cnt[b]:], 0)
+    assert waypoint_block_planes(jnp.asarray(d), rb, 1) is None
+    fidx, fcnt = waypoint_block_planes(jnp.asarray(d), rb, 5,
+                                       force_all=True)
+    np.testing.assert_array_equal(np.asarray(fcnt), 5)
+    np.testing.assert_array_equal(np.asarray(fidx),
+                                  np.tile(np.arange(5), (nb, 1)))
+
+
 def _small_grid_inputs(seed=0, n=160):
     sc = loads_scenario(SCENARIO)
     field = Field.from_scenario(sc, unit=0.25)
@@ -106,18 +136,17 @@ def test_gated_kernel_bit_identical_on_active_slots():
     fobs = jnp.asarray(f6.obs)
     n_wp = fwp.shape[0]
     assert n_wp == 3
-    wpm = waypoint_block_mask(dk, rb, n_wp)
-    assert np.asarray(wpm).max() < 8 and np.asarray(wpm).min() >= 0
+    wpp = waypoint_block_planes(dk, rb, n_wp)
+    cnt = np.asarray(wpp[1])
     # destination clustering must make the skip non-trivial: some block
     # wants a strict subset of the planes
-    assert any(bin(int(x)).count("1") < n_wp
-               for x in np.asarray(wpm)[:, 0] if x)
+    assert any(0 < c < n_wp for c in cnt)
 
     base = np.asarray(fused_step_kernel(
         dk, fwp, fobs, phys, sc.size, row_block=rb, interpret=True))
     gated = np.asarray(fused_step_kernel(
         dk, fwp, fobs, phys, sc.size, row_block=rb, interpret=True,
-        wp_mask=wpm))
+        wp_planes=wpp))
 
     act = base[:, :, 6, :] > 0.5
     np.testing.assert_array_equal(gated[:, :, 6, :], base[:, :, 6, :])
@@ -127,12 +156,13 @@ def test_gated_kernel_bit_identical_on_active_slots():
     assert np.all(gated[0] == 0) and np.all(gated[-1] == 0)
 
 
-def test_plane_ring_smaller_than_n_wp_bit_identical():
-    """wp_ring < n_wp exercises the ring-wrap path: plane p lives in VMEM
-    slot p % ring and later planes' DMAs start only after the slot's
-    previous tenant finished sampling (O(1)-in-waypoints VMEM like the
-    reference's host-RAM maps, field.rs:235-239).  ring=1 is full
-    serialization — the strictest ordering case."""
+def test_slab_ring_smaller_than_wanted_bit_identical():
+    """wp_slots < a block's wanted count exercises the serialization
+    path: wanted rank s lives in VMEM slot s % wp_slots and rank
+    s + wp_slots' DMA starts only after rank s finished sampling
+    (O(1)-in-waypoints VMEM like the reference's host-RAM maps,
+    field.rs:235-239).  wp_slots=1 is full serialization — the
+    strictest ordering case."""
     sc, d, f6, rb = _small_grid_inputs(seed=2)
     phys = Physics()
     dk = jnp.asarray(d)
@@ -140,15 +170,16 @@ def test_plane_ring_smaller_than_n_wp_bit_identical():
     fobs = jnp.asarray(f6.obs)
     n_wp = fwp.shape[0]
     assert n_wp == 3
-    wpm = waypoint_block_mask(dk, rb, n_wp)
+    wpp = waypoint_block_planes(dk, rb, n_wp)
+    assert int(np.asarray(wpp[1]).max()) > 1  # some block wants > 1 plane
 
     base = np.asarray(fused_step_kernel(
         dk, fwp, fobs, phys, sc.size, row_block=rb, interpret=True))
     act = base[:, :, 6, :] > 0.5
-    for ring in (1, 2):
+    for slots in (1, 2):
         gated = np.asarray(fused_step_kernel(
             dk, fwp, fobs, phys, sc.size, row_block=rb, interpret=True,
-            wp_mask=wpm, wp_ring=ring))
+            wp_planes=wpp, wp_slots=slots))
         np.testing.assert_array_equal(gated[:, :, 6, :], base[:, :, 6, :])
         for c in range(8):
             np.testing.assert_array_equal(gated[:, :, c, :][act],
@@ -163,14 +194,14 @@ def test_gated_kernel_emit_movers_bit_identical():
     dk = jnp.asarray(d)
     fwp = jnp.asarray(f6.wp)
     fobs = jnp.asarray(f6.obs)
-    wpm = waypoint_block_mask(dk, rb, fwp.shape[0])
+    wpp = waypoint_block_planes(dk, rb, fwp.shape[0])
 
     b_out, b_m, b_movf, b_mdmx = fused_step_kernel(
         dk, fwp, fobs, phys, sc.size, row_block=rb, interpret=True,
         emit_movers=4)
     g_out, g_m, g_movf, g_mdmx = fused_step_kernel(
         dk, fwp, fobs, phys, sc.size, row_block=rb, interpret=True,
-        emit_movers=4, wp_mask=wpm)
+        emit_movers=4, wp_planes=wpp)
     act = np.asarray(b_out)[:, :, 6, :] > 0.5
     for c in range(8):  # ch 7 = stay mask in this mode: active-slot exact
         np.testing.assert_array_equal(
