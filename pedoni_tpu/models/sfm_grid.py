@@ -271,7 +271,7 @@ def make_kernel_chain(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
     compaction cond — the steady-state branch)."""
     from .sfm_pallas import stride_for
 
-    if not supports(cfg, row_block):
+    if not supports(cfg, row_block, wp_skip=wp_skip, wp_slots=wp_slots):
         raise ValueError("grid backend scenario limits (sfm_pallas.supports)")
     stride = stride_for(cfg)
     dims = GridDims.build(cfg, row_block)
@@ -351,10 +351,10 @@ def make_step_grid(cfg: StepConfig, maps: FieldMaps, row_block: int = 2,
     slab DMA + sampling runs only in blocks whose window holds an agent
     bound for it — the reference's O(1)-maps-per-agent property
     (sfm.rs:107, field.rs:235-239) at block granularity."""
-    if not supports(cfg, row_block):
+    if not supports(cfg, row_block, wp_skip=wp_skip, wp_slots=wp_slots):
         raise ValueError(
             "grid backend needs an integral neighbor/field unit ratio and "
-            "waypoint planes fitting VMEM (see sfm_pallas.supports)"
+            "resident plane slabs fitting VMEM (see sfm_pallas.supports)"
         )
     from .sfm_pallas import debug_segments, stride_for
 

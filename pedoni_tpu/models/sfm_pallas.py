@@ -60,31 +60,44 @@ def debug_segments(cfg: StepConfig) -> tuple | None:
     )
 
 
-def vmem_need_bytes(cfg: StepConfig, row_block: int = 2) -> int:
-    """Kernel VMEM footprint: field windows (all waypoint planes resident,
-    DOUBLE-buffered since the input-DMA pipelining — the factor 2 on the
-    field term matches the (2, ...) scratch shapes in step_kernel.py) +
-    the agent window (2 slots) / output / scratch."""
+def vmem_need_bytes(cfg: StepConfig, row_block: int = 2,
+                    resident_planes: int | None = None) -> int:
+    """Kernel VMEM footprint: field windows (DOUBLE-buffered since the
+    input-DMA pipelining — the factor 2 on the field term matches the
+    (2, ...) scratch shapes in step_kernel.py) + the agent window
+    (2 slots) / output / scratch.  ``resident_planes`` = slab slots per
+    buffer: all n_wp planes for the ungated kernel, min(n_wp, wp_slots)
+    under the waypoint slot walk (the rank ring bounds residency —
+    O(1) in waypoint count like the reference's host-RAM maps,
+    field.rs:235-239)."""
     s = stride_for(cfg) or 6
     rb = row_block
     k = cfg.table_capacity
     nxl = -(-(cfg.grid.nx + 3) // 128) * 128
     flen = s * (rb + 2) + 2
     n_wp = max(1, len(cfg.scenario.waypoints))
+    if resident_planes is not None:
+        n_wp = min(n_wp, max(1, resident_planes))
     per_plane = flen * s * 4 * nxl * 4
     agents = (2 * (rb + 2) + rb) * k * 8 * nxl * 4
     return 2 * (n_wp + 1) * per_plane + agents
 
 
-def supports(cfg: StepConfig, row_block: int = 2) -> bool:
+def supports(cfg: StepConfig, row_block: int = 2, wp_skip: bool = True,
+             wp_slots: int = 4) -> bool:
     """Any scenario with an integral neighbor/field unit ratio whose
     waypoint planes fit VMEM runs on the fused kernels — including
     evacuation.toml's 33 waypoints (backend-agnostic acceptance,
-    pedoni-simulator/src/lib.rs:32-35)."""
+    pedoni-simulator/src/lib.rs:32-35).  With the waypoint slot walk on
+    (the default), only min(n_wp, wp_slots) + 1 plane slabs are ever
+    resident, so waypoint COUNT no longer bounds acceptance — only the
+    lane width and table capacity do."""
+    n_wp = len(cfg.scenario.waypoints)
+    resident = min(n_wp, wp_slots) if (wp_skip and n_wp > 1) else None
     return (
         stride_for(cfg) is not None
-        and len(cfg.scenario.waypoints) >= 1
-        and vmem_need_bytes(cfg, row_block) <= VMEM_BUDGET
+        and n_wp >= 1
+        and vmem_need_bytes(cfg, row_block, resident) <= VMEM_BUDGET
     )
 
 
@@ -100,8 +113,8 @@ def make_step_pallas(cfg: StepConfig, maps: FieldMaps, row_block: int = 2):
     if not supports(cfg, row_block):
         raise ValueError(
             "pallas backend needs an integral neighbor/field unit ratio and "
-            f"waypoint planes fitting VMEM (need {vmem_need_bytes(cfg, row_block)}"
-            f" bytes of {VMEM_BUDGET})"
+            "resident plane slabs fitting VMEM (need "
+            f"{vmem_need_bytes(cfg, row_block, 4)} bytes of {VMEM_BUDGET})"
         )
     stride = stride_for(cfg)
     phys = cfg.physics

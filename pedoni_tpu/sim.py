@@ -223,7 +223,8 @@ class Simulator:
         if o.backend in ("pallas", "grid"):
             from .models import sfm_grid, sfm_pallas
 
-            if not sfm_pallas.supports(self.cfg, o.row_block):
+            if not sfm_pallas.supports(self.cfg, o.row_block,
+                                       wp_skip=o.wp_skip):
                 raise ValueError(
                     f"{o.backend} backend requires an integral neighbor/"
                     "field unit ratio and waypoint planes fitting VMEM; "

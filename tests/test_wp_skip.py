@@ -210,3 +210,24 @@ def test_gated_kernel_emit_movers_bit_identical():
     np.testing.assert_array_equal(np.asarray(g_m), np.asarray(b_m))
     np.testing.assert_array_equal(np.asarray(g_movf), np.asarray(b_movf))
     np.testing.assert_array_equal(np.asarray(g_mdmx), np.asarray(b_mdmx))
+
+
+def test_supports_unbounded_waypoints_under_slot_walk():
+    """The slot walk bounds resident plane slabs at wp_slots, so
+    waypoint COUNT no longer gates fused-backend acceptance — only the
+    ungated kernel (wp_skip=False) still needs all planes resident
+    (reference parity: field.rs:235-239 keeps any number of maps at an
+    O(1) working set)."""
+    from pedoni_tpu.models.sfm import StepConfig
+    from pedoni_tpu.models.sfm_pallas import supports
+
+    n_wp = 40
+    lines = "".join(
+        f"[[waypoints]]\nline = [[{2 + 4 * (i % 12)}, {2 + 3 * (i // 12)}], "
+        f"[{3 + 4 * (i % 12)}, {2 + 3 * (i // 12)}]]\n"
+        for i in range(n_wp))
+    sc = loads_scenario("[field]\nsize = [1500, 90]\n" + lines)
+    cfg = StepConfig.build(sc, neighbor_grid_unit=1.5, table_capacity=14)
+    assert supports(cfg, 2, wp_skip=True)          # slot walk: accepted
+    assert not supports(cfg, 2, wp_skip=False)     # ungated: 40 resident
+    #                                                slabs blow VMEM
