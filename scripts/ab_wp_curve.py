@@ -79,9 +79,10 @@ def main() -> int:
                  else ("off", "on"))
         for mode in modes:
             skip = mode != "off"
-            # tiles:4 above W=8: the resident per-plane VMEM slab bounds
-            # W at full 1024-lane width (supports() enforces it)
-            domain = "auto" if w <= 8 else "tiles:4"
+            # The slot walk bounds resident slabs at wp_slots, so gated
+            # arms run ANY W at full lane width; only the ungated OFF
+            # arm still needs all planes resident (tiles:4 above W=8).
+            domain = "auto" if (skip or w <= 8) else "tiles:4"
             if mode == "all":
                 step, state = build_forced(w, domain)
             else:
