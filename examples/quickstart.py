@@ -7,6 +7,11 @@ Scenario -> Simulator -> tick()/run() -> list_pedestrians()/metrics,
 plus a checkpoint round trip and an optional PNG snapshot.
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 from pedoni_tpu import Scenario, Segment, Simulator, SimulatorOptions
 from pedoni_tpu.scenario import PedestrianGroup, SpawnConfig
 
